@@ -1,0 +1,152 @@
+"""Backward-warping / grid-sampling ops, TPU-native (pure XLA gathers).
+
+These replace the reference's calls into ATen `F.grid_sample`
+(reference: model/modules/flow_loss_utils.py:44-50 and
+model/modules/RAFT/utils/utils.py:66-80) with layout-friendly NHWC
+gather + lerp programs that XLA fuses well on TPU.
+
+Conventions:
+  * activations are NHWC ([N, H, W, C]);
+  * sampling coordinates are *pixel* coordinates (x right, y down) — the
+    reference normalizes to [-1, 1] and immediately denormalizes inside
+    grid_sample with align_corners=True, which is the identity, so we skip
+    the round-trip entirely;
+  * out-of-bounds taps contribute zero ("zeros" padding mode).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _gather_2d(img: jnp.ndarray, iy: jnp.ndarray, ix: jnp.ndarray) -> jnp.ndarray:
+    """Gather img[n, iy, ix, :] for per-pixel integer indices.
+
+    img: [N, H, W, C]; iy/ix: [N, P] int32 (already clamped in-bounds).
+    Returns [N, P, C].
+    """
+    n, h, w, c = img.shape
+    flat = img.reshape(n, h * w, c)
+    idx = iy * w + ix  # [N, P]
+    return jnp.take_along_axis(flat, idx[:, :, None], axis=1)
+
+
+def grid_sample(
+    img: jnp.ndarray,
+    coords: jnp.ndarray,
+    mode: str = "bilinear",
+) -> jnp.ndarray:
+    """Sample `img` at pixel coordinates with zeros padding.
+
+    img:    [N, H, W, C]
+    coords: [N, P, 2] pixel coordinates, last dim = (x, y)
+    mode:   "bilinear" | "nearest"
+
+    Matches `torch.nn.functional.grid_sample(..., align_corners=True,
+    padding_mode="zeros")` once torch's normalized grid is mapped back to
+    pixels (the mapping is the identity for align_corners=True).
+    Returns [N, P, C].
+    """
+    n, h, w, _ = img.shape
+    x = coords[..., 0]
+    y = coords[..., 1]
+
+    if mode == "nearest":
+        # torch rounds with nearbyint (half-to-even); jnp.rint matches.
+        ix = jnp.rint(x).astype(jnp.int32)
+        iy = jnp.rint(y).astype(jnp.int32)
+        valid = (ix >= 0) & (ix < w) & (iy >= 0) & (iy < h)
+        ixc = jnp.clip(ix, 0, w - 1)
+        iyc = jnp.clip(iy, 0, h - 1)
+        out = _gather_2d(img, iyc, ixc)
+        return out * valid[..., None].astype(img.dtype)
+
+    if mode != "bilinear":
+        raise ValueError(f"unsupported mode: {mode}")
+
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx1 = (x - x0).astype(img.dtype)
+    wy1 = (y - y0).astype(img.dtype)
+    wx0 = 1.0 - wx1
+    wy0 = 1.0 - wy1
+
+    ix0 = x0.astype(jnp.int32)
+    iy0 = y0.astype(jnp.int32)
+    ix1 = ix0 + 1
+    iy1 = iy0 + 1
+
+    def tap(iy, ix, wgt):
+        valid = (ix >= 0) & (ix < w) & (iy >= 0) & (iy < h)
+        v = _gather_2d(img, jnp.clip(iy, 0, h - 1), jnp.clip(ix, 0, w - 1))
+        return v * (wgt * valid.astype(img.dtype))[..., None]
+
+    out = (
+        tap(iy0, ix0, wy0 * wx0)
+        + tap(iy0, ix1, wy0 * wx1)
+        + tap(iy1, ix0, wy1 * wx0)
+        + tap(iy1, ix1, wy1 * wx1)
+    )
+    return out
+
+
+def flow_warp(
+    x: jnp.ndarray,
+    flow: jnp.ndarray,
+    interpolation: str = "bilinear",
+) -> jnp.ndarray:
+    """Backward-warp `x` by optical `flow`.
+
+    x:    [N, H, W, C]
+    flow: [N, H, W, 2] pixel offsets, last dim = (dx, dy)
+
+    Equivalent of the reference `flow_warp`
+    (model/modules/flow_loss_utils.py:6-51): sample position is
+    base grid + flow, zeros padding, align_corners=True.
+    """
+    n, h, w, _ = x.shape
+    gy, gx = jnp.meshgrid(
+        jnp.arange(h, dtype=flow.dtype), jnp.arange(w, dtype=flow.dtype), indexing="ij"
+    )
+    grid = jnp.stack([gx, gy], axis=-1)  # [H, W, 2] (x, y)
+    coords = (grid[None] + flow).reshape(n, h * w, 2)
+    out = grid_sample(x, coords, mode=interpolation)
+    return out.reshape(n, h, w, x.shape[-1])
+
+
+def fb_consistency_check(
+    flow_fw: jnp.ndarray,
+    flow_bw: jnp.ndarray,
+    alpha1: float = 0.01,
+    alpha2: float = 0.5,
+) -> jnp.ndarray:
+    """Forward-backward flow consistency gate.
+
+    flow_fw/flow_bw: [N, H, W, 2]. Returns [N, H, W, 1] in {0, 1}.
+    Mirrors the reference fbConsistencyCheck (model/propainter.py:27-36).
+    """
+    flow_bw_warped = flow_warp(flow_bw, flow_fw)
+    flow_diff_fw = flow_fw + flow_bw_warped
+
+    def length_sq(v):
+        return jnp.sum(jnp.square(v), axis=-1, keepdims=True)
+
+    mag_sq_fw = length_sq(flow_fw) + length_sq(flow_bw_warped)
+    occ_thresh_fw = alpha1 * mag_sq_fw + alpha2
+    return (length_sq(flow_diff_fw) < occ_thresh_fw).astype(flow_fw.dtype)
+
+
+def coords_grid(batch: int, h: int, w: int, dtype=jnp.float32) -> jnp.ndarray:
+    """[N, H, W, 2] pixel coordinate grid, last dim = (x, y).
+
+    NHWC-layout analogue of RAFT's coords_grid
+    (model/modules/RAFT/utils/utils.py:83-86).
+    """
+    gy, gx = jnp.meshgrid(
+        jnp.arange(h, dtype=dtype), jnp.arange(w, dtype=dtype), indexing="ij"
+    )
+    grid = jnp.stack([gx, gy], axis=-1)
+    return jnp.broadcast_to(grid[None], (batch, h, w, 2))
