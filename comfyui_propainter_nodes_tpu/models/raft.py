@@ -1,0 +1,247 @@
+"""RAFT optical flow, TPU-native.
+
+Re-design of the reference RAFT stack (model/modules/RAFT/{raft,extractor,
+update,corr}.py) for XLA:
+
+  * NHWC activations, HWIO weights, params = flat torch-named dict
+    (see utils/checkpoint.py);
+  * the 20-step recurrent update (raft.py:130-147) is a `lax.scan` over the
+    (net, coords1) carry — one trace, no Python loop in the compiled fn;
+  * the all-pairs correlation pyramid (corr.py:12-60) is four batched
+    matmul+avg-pool tensors; the per-iteration (2r+1)^2-window lookup is a
+    batched bilinear gather shared with ops.warp;
+  * both flow directions of RAFT_bi (flow_comp_raft.py:39-58) are stacked
+    into one batch so the MXU sees 2*(T-1) image pairs at once;
+  * convex upsampling (raft.py:81-92) is one einsum.
+
+Only the "large" configuration is implemented (small=False,
+mixed_precision=False — the settings the reference pins at
+flow_comp_raft.py:13-16). RAFT runs in fp32 like the reference.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import (
+    avg_pool2d,
+    batch_norm_eval,
+    conv2d,
+    coords_grid,
+    grid_sample,
+    instance_norm,
+    pconv2d,
+    unfold,
+)
+
+Params = Mapping[str, jnp.ndarray]
+
+CORR_LEVELS = 4
+CORR_RADIUS = 4
+HDIM = 128
+CDIM = 128
+
+
+# ---------------------------------------------------------------- encoders
+
+
+def _residual_block(p: Params, pre: str, x: jnp.ndarray, stride: int, norm: str):
+    """extractor.py:5-57 ResidualBlock (instance or batch norm)."""
+
+    def apply_norm(name, v):
+        if norm == "instance":
+            return instance_norm(v)
+        if norm == "batch":
+            return batch_norm_eval(p, name, v)
+        return v
+
+    y = pconv2d(p, pre + ".conv1", x, stride=(stride, stride), padding=(1, 1))
+    y = jax.nn.relu(apply_norm(pre + ".norm1", y))
+    y = pconv2d(p, pre + ".conv2", y, padding=(1, 1))
+    y = jax.nn.relu(apply_norm(pre + ".norm2", y))
+    if stride != 1:
+        x = pconv2d(p, pre + ".downsample.0", x, stride=(stride, stride))
+        x = apply_norm(pre + ".norm3", x)
+    return jax.nn.relu(x + y)
+
+
+def basic_encoder(p: Params, pre: str, x: jnp.ndarray, norm: str) -> jnp.ndarray:
+    """extractor.py:121-193 BasicEncoder: 1/8-res features."""
+    x = pconv2d(p, pre + ".conv1", x, stride=(2, 2), padding=(3, 3))
+    if norm == "instance":
+        x = instance_norm(x)
+    elif norm == "batch":
+        x = batch_norm_eval(p, pre + ".norm1", x)
+    x = jax.nn.relu(x)
+    for layer, stride in (("layer1", 1), ("layer2", 2), ("layer3", 2)):
+        x = _residual_block(p, f"{pre}.{layer}.0", x, stride, norm)
+        x = _residual_block(p, f"{pre}.{layer}.1", x, 1, norm)
+    return pconv2d(p, pre + ".conv2", x)
+
+
+# ---------------------------------------------------------- corr pyramid
+
+
+def build_corr_pyramid(fmap1: jnp.ndarray, fmap2: jnp.ndarray):
+    """All-pairs correlation + 4-level avg-pool pyramid (corr.py:13-27).
+
+    fmap: [N, H, W, C]. Returns list of [N*H*W, Hl, Wl, 1].
+    """
+    n, h, w, c = fmap1.shape
+    f1 = fmap1.reshape(n, h * w, c)
+    f2 = fmap2.reshape(n, h * w, c)
+    corr = jnp.einsum("npc,nqc->npq", f1, f2) / jnp.sqrt(jnp.asarray(c, f1.dtype))
+    corr = corr.reshape(n * h * w, h, w, 1)
+    pyramid = [corr]
+    for _ in range(CORR_LEVELS - 1):
+        corr = avg_pool2d(corr, (2, 2), (2, 2))
+        pyramid.append(corr)
+    return pyramid
+
+
+def lookup_corr(pyramid, coords: jnp.ndarray) -> jnp.ndarray:
+    """(2r+1)^2-window bilinear lookup at every level (corr.py:29-50).
+
+    coords: [N, H, W, 2] current matches in pixel coords.
+    Returns [N, H, W, LEVELS*(2r+1)^2].
+    """
+    n, h, w, _ = coords.shape
+    r = CORR_RADIUS
+    win = 2 * r + 1
+    d = jnp.arange(-r, r + 1, dtype=coords.dtype)
+    # NOTE: the reference stacks meshgrid(dy, dx) directly onto (x, y)
+    # coords (corr.py:37-43), so channel (i, j) samples offset
+    # (dx = d_i, dy = d_j) — the transpose of the "natural" order. The
+    # pretrained update-block weights depend on this ordering; match it.
+    da, db = jnp.meshgrid(d, d, indexing="ij")
+    delta = jnp.stack([da, db], axis=-1).reshape(win * win, 2)  # (x, y) last
+
+    out = []
+    for i, corr in enumerate(pyramid):
+        centroid = coords.reshape(n * h * w, 1, 2) / (2**i)
+        cl = centroid + delta[None]  # [NHW, win*win, 2]
+        sampled = grid_sample(corr, cl)  # [NHW, win*win, 1]
+        out.append(sampled.reshape(n, h, w, win * win))
+    return jnp.concatenate(out, axis=-1)
+
+
+# ------------------------------------------------------------ update block
+
+
+def _motion_encoder(p: Params, flow: jnp.ndarray, corr: jnp.ndarray) -> jnp.ndarray:
+    """update.py:94-112 BasicMotionEncoder."""
+    pre = "update_block.encoder"
+    cor = jax.nn.relu(pconv2d(p, pre + ".convc1", corr))
+    cor = jax.nn.relu(pconv2d(p, pre + ".convc2", cor, padding=(1, 1)))
+    flo = jax.nn.relu(pconv2d(p, pre + ".convf1", flow, padding=(3, 3)))
+    flo = jax.nn.relu(pconv2d(p, pre + ".convf2", flo, padding=(1, 1)))
+    out = jax.nn.relu(
+        pconv2d(p, pre + ".conv", jnp.concatenate([cor, flo], -1), padding=(1, 1))
+    )
+    return jnp.concatenate([out, flow], axis=-1)
+
+
+def _sep_conv_gru(p: Params, h: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """update.py:35-73 SepConvGRU: 1x5 then 5x1 gated updates."""
+    pre = "update_block.gru"
+    for tag, pad in (("1", (0, 2)), ("2", (2, 0))):
+        hx = jnp.concatenate([h, x], axis=-1)
+        z = jax.nn.sigmoid(pconv2d(p, f"{pre}.convz{tag}", hx, padding=pad))
+        r = jax.nn.sigmoid(pconv2d(p, f"{pre}.convr{tag}", hx, padding=pad))
+        q = jnp.tanh(
+            pconv2d(
+                p, f"{pre}.convq{tag}", jnp.concatenate([r * h, x], -1), padding=pad
+            )
+        )
+        h = (1 - z) * h + z * q
+    return h
+
+
+def _update_block(p: Params, net, inp, corr, flow):
+    """update.py:131-154 BasicUpdateBlock."""
+    motion = _motion_encoder(p, flow, corr)
+    net = _sep_conv_gru(p, net, jnp.concatenate([inp, motion], axis=-1))
+    fh = jax.nn.relu(pconv2d(p, "update_block.flow_head.conv1", net, padding=(1, 1)))
+    delta_flow = pconv2d(p, "update_block.flow_head.conv2", fh, padding=(1, 1))
+    m = jax.nn.relu(pconv2d(p, "update_block.mask.0", net, padding=(1, 1)))
+    up_mask = 0.25 * pconv2d(p, "update_block.mask.2", m)
+    return net, up_mask, delta_flow
+
+
+def convex_upsample(flow: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """raft.py:81-92: learned convex combination 8x upsampling.
+
+    flow: [N, H, W, 2]; mask: [N, H, W, 64*9] with channel = k*64 + di*8 + dj.
+    """
+    n, h, w, _ = flow.shape
+    m = mask.reshape(n, h, w, 9, 8, 8)
+    m = jax.nn.softmax(m, axis=3)
+    patches = unfold(8.0 * flow, (3, 3), (1, 1), (1, 1))  # [N, H, W, 3, 3, 2]
+    patches = patches.reshape(n, h, w, 9, 2)
+    up = jnp.einsum("nhwkab,nhwkc->nhwabc", m, patches)  # [N, H, W, 8, 8, 2]
+    up = up.transpose(0, 1, 3, 2, 4, 5)  # [N, H, 8, W, 8, 2]
+    return up.reshape(n, 8 * h, 8 * w, 2)
+
+
+# ------------------------------------------------------------------ forward
+
+
+def raft_forward(
+    params: Params, image1: jnp.ndarray, image2: jnp.ndarray, iters: int = 20
+) -> jnp.ndarray:
+    """Flow from image1 to image2. Images [N, H, W, 3] in [-1, 1], fp32.
+
+    Mirrors raft.py:94-152 in test mode; returns the convex-upsampled flow
+    [N, H, W, 2] (pixel units, (dx, dy) last axis).
+    """
+    image1 = image1.astype(jnp.float32)
+    image2 = image2.astype(jnp.float32)
+    n, h, w, _ = image1.shape
+
+    both = jnp.concatenate([image1, image2], axis=0)
+    fmaps = basic_encoder(params, "fnet", both, norm="instance")
+    fmap1, fmap2 = fmaps[:n], fmaps[n:]
+
+    pyramid = build_corr_pyramid(fmap1, fmap2)
+
+    cnet = basic_encoder(params, "cnet", image1, norm="batch")
+    net = jnp.tanh(cnet[..., :HDIM])
+    inp = jax.nn.relu(cnet[..., HDIM:])
+
+    coords0 = coords_grid(n, h // 8, w // 8)
+    coords1 = coords0
+    up_mask0 = jnp.zeros((n, h // 8, w // 8, 64 * 9), jnp.float32)
+
+    def step(carry, _):
+        net, coords1, _ = carry
+        corr = lookup_corr(pyramid, coords1)
+        flow = coords1 - coords0
+        net, up_mask, delta = _update_block(params, net, inp, corr, flow)
+        return (net, coords1 + delta, up_mask), None
+
+    (net, coords1, up_mask), _ = jax.lax.scan(
+        step, (net, coords1, up_mask0), None, length=iters
+    )
+    return convex_upsample(coords1 - coords0, up_mask)
+
+
+def raft_bi_forward(
+    params: Params, frames: jnp.ndarray, iters: int = 20
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Bidirectional flow over a clip (flow_comp_raft.py:39-58).
+
+    frames: [B, T, H, W, 3] in [-1, 1]. Returns (flows_fwd, flows_bwd),
+    each [B, T-1, H, W, 2]. Both directions run as ONE batched RAFT call.
+    """
+    b, t, h, w, c = frames.shape
+    f1 = frames[:, :-1].reshape(b * (t - 1), h, w, c)
+    f2 = frames[:, 1:].reshape(b * (t - 1), h, w, c)
+    im1 = jnp.concatenate([f1, f2], axis=0)
+    im2 = jnp.concatenate([f2, f1], axis=0)
+    flows = raft_forward(params, im1, im2, iters=iters)
+    flows_f = flows[: b * (t - 1)].reshape(b, t - 1, h, w, 2)
+    flows_b = flows[b * (t - 1) :].reshape(b, t - 1, h, w, 2)
+    return flows_f, flows_b
