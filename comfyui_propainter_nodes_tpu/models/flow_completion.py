@@ -1,0 +1,258 @@
+"""Recurrent flow completion network, TPU-native.
+
+Re-design of the reference RecurrentFlowCompleteNet
+(model/recurrent_flow_completion.py) for XLA:
+
+  * P3D encoder / mid-dilation as NDHWC conv3d (T stays a conv axis — no
+    per-frame Python loop);
+  * the second-order bidirectional propagation (reference :56-143, a
+    sequential Python loop over frames with a 2-deep cache) becomes a
+    `lax.scan` with carry (prev1, prev2); the backward pass is the same
+    scan over the time-flipped sequence;
+  * both temporal directions of `forward_bidirect_flow` (:356-387) are
+    batched into ONE network invocation (batch = [fwd, time-flipped bwd]),
+    doubling MXU utilization;
+  * decoders run on (b*t) batched 2D convs.
+
+Param names follow the torch state dict (utils/checkpoint.py layouts).
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import (
+    deform_conv2d,
+    leaky_relu,
+    pconv2d,
+    pconv3d,
+    resize_bilinear,
+)
+
+Params = Mapping[str, jnp.ndarray]
+
+CHANNEL = 128
+DEFORM_GROUPS = 16
+
+
+# ------------------------------------------------------------- P3D blocks
+
+
+def _p3d(p: Params, pre: str, x: jnp.ndarray, stride: int) -> jnp.ndarray:
+    """P3DBlock (reference :162-205): (1,k,k) spatial conv + LeakyReLU,
+    then (3,1,1) dilated-2 temporal conv. x: [N, T, H, W, C]."""
+    y = pconv3d(
+        p, pre + ".conv1.0", x, stride=(1, stride, stride), padding=(0, 1, 1)
+    )
+    y = leaky_relu(y, 0.2)
+    y = pconv3d(
+        p, pre + ".conv2.0", y, padding=(2, 0, 0), dilation=(2, 1, 1)
+    )
+    return y
+
+
+def _deconv(p: Params, pre: str, x: jnp.ndarray) -> jnp.ndarray:
+    """deconv (reference :146-159): 2x bilinear (align_corners=True) + conv."""
+    n, h, w, c = x.shape
+    x = resize_bilinear(x, 2 * h, 2 * w, align_corners=True)
+    return pconv2d(p, pre + ".conv", x, padding=(1, 1))
+
+
+# ------------------------------------------- second-order deform alignment
+
+
+def _second_order_align(
+    p: Params, pre: str, x: jnp.ndarray, extra_feat: jnp.ndarray
+) -> jnp.ndarray:
+    """SecondOrderDeformableAlignment (reference :10-53).
+
+    x: [N, H, W, 2C] (feat_prop ++ feat_n2); extra_feat: [N, H, W, 3C].
+    """
+    n, h, w, _ = x.shape
+    o = pconv2d(p, pre + ".conv_offset.0", extra_feat, padding=(1, 1))
+    o = leaky_relu(o, 0.1)
+    o = pconv2d(p, pre + ".conv_offset.2", o, padding=(1, 1))
+    o = leaky_relu(o, 0.1)
+    o = pconv2d(p, pre + ".conv_offset.4", o, padding=(1, 1))
+    o = leaky_relu(o, 0.1)
+    o = pconv2d(p, pre + ".conv_offset.6", o, padding=(1, 1))  # 27*G
+
+    g9 = DEFORM_GROUPS * 9
+    o1, o2, mask = o[..., :g9], o[..., g9 : 2 * g9], o[..., 2 * g9 :]
+    offset = 5.0 * jnp.tanh(jnp.concatenate([o1, o2], axis=-1))
+    # torchvision channel layout: pairs (dy, dx) per (group, tap)
+    offset = offset.reshape(n, h, w, DEFORM_GROUPS, 9, 2)
+    mask = jax.nn.sigmoid(mask).reshape(n, h, w, DEFORM_GROUPS, 9)
+    return deform_conv2d(
+        x, offset, mask, p[pre + ".weight"], p[pre + ".bias"], padding=1
+    )
+
+
+# ------------------------------------------------ bidirectional propagation
+
+
+def _propagate_direction(
+    p: Params,
+    module: str,
+    x_seq: jnp.ndarray,
+    extra_seq: jnp.ndarray | None,
+) -> jnp.ndarray:
+    """One direction of BidirectionalPropagation (reference :85-132).
+
+    x_seq: [T, N, H, W, C] in propagation order; extra_seq: features from
+    the already-completed direction (forward pass only), same shape.
+    Returns [T, N, H, W, C] in the same order.
+    """
+    t, n, h, w, c = x_seq.shape
+    da = f"feat_prop_module.deform_align.{module}"
+    bb = f"feat_prop_module.backbone.{module}"
+
+    def backbone(feat):
+        y = pconv2d(p, bb + ".0", feat, padding=(1, 1))
+        y = leaky_relu(y, 0.1)
+        return pconv2d(p, bb + ".2", y, padding=(1, 1))
+
+    zeros = jnp.zeros((n, h, w, c), x_seq.dtype)
+
+    # step 0: deform-align skipped; feat_prop starts at zeros.
+    def fuse_inputs(feat_current, extra, feat_prop):
+        parts = [feat_current]
+        if extra is not None:
+            parts.append(extra)
+        parts.append(feat_prop)
+        return jnp.concatenate(parts, axis=-1)
+
+    extra0 = extra_seq[0] if extra_seq is not None else None
+    out0 = zeros + backbone(fuse_inputs(x_seq[0], extra0, zeros))
+
+    def step(carry, inputs):
+        prev1, prev2 = carry
+        if extra_seq is not None:
+            feat_current, extra = inputs
+        else:
+            feat_current, extra = inputs, None
+        cond = jnp.concatenate([prev1, feat_current, prev2], axis=-1)
+        feat_prop = _second_order_align(
+            p, da, jnp.concatenate([prev1, prev2], axis=-1), cond
+        )
+        feat_prop = feat_prop + backbone(fuse_inputs(feat_current, extra, feat_prop))
+        return (feat_prop, prev1), feat_prop
+
+    xs = (x_seq[1:], extra_seq[1:]) if extra_seq is not None else x_seq[1:]
+    _, rest = jax.lax.scan(step, (out0, zeros), xs)
+    return jnp.concatenate([out0[None], rest], axis=0)
+
+
+def _bidirectional_propagation(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """reference :77-143. x: [N, T, H, W, C] -> [N, T, H, W, C]."""
+    x_t = jnp.moveaxis(x, 1, 0)  # [T, N, H, W, C]
+
+    bwd = _propagate_direction(p, "backward_", x_t[::-1], None)[::-1]
+    fwd = _propagate_direction(p, "forward_", x_t, bwd)
+
+    fused = jnp.concatenate([bwd, fwd], axis=-1)
+    t, n, h, w, c2 = fused.shape
+    out = pconv2d(p, "feat_prop_module.fusion", fused.reshape(t * n, h, w, c2))
+    out = out.reshape(t, n, h, w, c2 // 2)
+    return jnp.moveaxis(out, 0, 1) + x
+
+
+# ------------------------------------------------------------------ forward
+
+
+def flow_complete_forward(p: Params, masked_flows: jnp.ndarray, masks: jnp.ndarray):
+    """reference :315-354 forward (inference; no edge head).
+
+    masked_flows: [B, T, H, W, 2]; masks: [B, T, H, W, 1].
+    Returns completed flow [B, T, H, W, 2].
+    """
+    b, t, h, w, _ = masked_flows.shape
+    inputs = jnp.concatenate([masked_flows, masks], axis=-1)  # [B,T,H,W,3]
+
+    # downsample: (1,5,5) s(1,2,2) conv with REPLICATE spatial padding
+    xp = jnp.pad(inputs, ((0, 0), (0, 0), (2, 2), (2, 2), (0, 0)), mode="edge")
+    x = pconv3d(p, "downsample.0", xp, stride=(1, 2, 2))
+    x = leaky_relu(x, 0.2)  # 2x down, 32ch
+
+    e1 = _p3d(p, "encoder1.0", x, 1)
+    e1 = leaky_relu(e1, 0.2)
+    e1 = _p3d(p, "encoder1.2", e1, 2)
+    e1 = leaky_relu(e1, 0.2)  # 4x, 64ch
+
+    e2 = _p3d(p, "encoder2.0", e1, 1)
+    e2 = leaky_relu(e2, 0.2)
+    e2 = _p3d(p, "encoder2.2", e2, 2)
+    e2 = leaky_relu(e2, 0.2)  # 8x, 128ch
+
+    mid = pconv3d(p, "mid_dilation.0", e2, padding=(0, 3, 3), dilation=(1, 3, 3))
+    mid = leaky_relu(mid, 0.2)
+    mid = pconv3d(p, "mid_dilation.2", mid, padding=(0, 2, 2), dilation=(1, 2, 2))
+    mid = leaky_relu(mid, 0.2)
+    mid = pconv3d(p, "mid_dilation.4", mid, padding=(0, 1, 1), dilation=(1, 1, 1))
+    mid = leaky_relu(mid, 0.2)
+
+    prop = _bidirectional_propagation(p, mid)  # [B, T, H/8, W/8, 128]
+
+    bt = b * t
+    prop2 = prop.reshape(bt, h // 8, w // 8, CHANNEL)
+    e1_2 = e1.reshape(bt, h // 4, w // 4, 64)
+    d2 = pconv2d(p, "decoder2.0", prop2, padding=(1, 1))
+    d2 = leaky_relu(d2, 0.2)
+    d2 = _deconv(p, "decoder2.2", d2)
+    d2 = leaky_relu(d2, 0.2)
+    d2 = d2 + e1_2
+
+    d1 = pconv2d(p, "decoder1.0", d2, padding=(1, 1))
+    d1 = leaky_relu(d1, 0.2)
+    d1 = _deconv(p, "decoder1.2", d1)
+    d1 = leaky_relu(d1, 0.2)
+
+    up = pconv2d(p, "upsample.0", d1, padding=(1, 1))
+    up = leaky_relu(up, 0.2)
+    flow = _deconv(p, "upsample.2", up)
+    return flow.reshape(b, t, h, w, 2)
+
+
+def forward_bidirect_flow(
+    p: Params,
+    flows_f: jnp.ndarray,
+    flows_b: jnp.ndarray,
+    masks: jnp.ndarray,
+):
+    """reference :356-387: complete both directions. The backward pass runs
+    on the time-flipped sequence; we batch both through one forward call.
+
+    flows_f/flows_b: [B, T-1, H, W, 2]; masks: [B, T, H, W, 1].
+    Returns (pred_flows_f, pred_flows_b).
+    """
+    masks_fwd = masks[:, :-1]
+    masks_bwd = masks[:, 1:]
+    mf = flows_f * (1 - masks_fwd)
+    mb = flows_b * (1 - masks_bwd)
+
+    batch_flows = jnp.concatenate([mf, mb[:, ::-1]], axis=0)
+    batch_masks = jnp.concatenate([masks_fwd, masks_bwd[:, ::-1]], axis=0)
+    pred = flow_complete_forward(p, batch_flows, batch_masks)
+
+    b = flows_f.shape[0]
+    pred_f = pred[:b]
+    pred_b = pred[b:][:, ::-1]
+    return pred_f, pred_b
+
+
+def combine_flow(
+    flows_f: jnp.ndarray,
+    flows_b: jnp.ndarray,
+    pred_f: jnp.ndarray,
+    pred_b: jnp.ndarray,
+    masks: jnp.ndarray,
+):
+    """reference :389-400: keep observed flow outside the mask."""
+    masks_fwd = masks[:, :-1]
+    masks_bwd = masks[:, 1:]
+    out_f = pred_f * masks_fwd + flows_f * (1 - masks_fwd)
+    out_b = pred_b * masks_bwd + flows_b * (1 - masks_bwd)
+    return out_f, out_b

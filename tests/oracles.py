@@ -25,7 +25,8 @@ def torch_deform_conv2d(
 ):
     """Vectorized torch implementation of torchvision.ops.deform_conv2d
     (stride 1, dilation 1, zeros padding, modulated)."""
-    assert tuple(stride) in ((1, 1), 1, (1,)) or stride == 1
+    s = stride if isinstance(stride, (tuple, list)) else (stride, stride)
+    assert tuple(s) == (1, 1), "oracle supports stride 1 only"
     n, cin, h, w = x.shape
     cout, _, kh, kw = weight.shape
     k = kh * kw
@@ -90,11 +91,22 @@ def install_reference_path():
 
 
 def seed_torch_model(model: torch.nn.Module, seed: int = 0) -> None:
-    """Deterministic non-degenerate random init for every param/buffer."""
+    """Deterministic random init with fan-in scaling.
+
+    Recurrent reference models are chaotic under unscaled random weights
+    (per-step gain ~7x blows up magnitudes and turns fp noise into O(1)
+    divergence); fan-in-scaled weights keep the recurrences near unit gain
+    like real trained checkpoints, making parity comparisons meaningful.
+    """
     gen = torch.Generator().manual_seed(seed)
     with torch.no_grad():
         for name, p in sorted(model.named_parameters()):
-            p.copy_(torch.randn(p.shape, generator=gen) * 0.1)
+            if p.ndim >= 2:
+                fan_in = int(np.prod(p.shape[1:]))
+                std = 1.0 / np.sqrt(fan_in)
+            else:
+                std = 0.05
+            p.copy_(torch.randn(p.shape, generator=gen) * std)
         for name, b in sorted(model.named_buffers()):
             if b.dtype.is_floating_point:
                 if "running_var" in name:

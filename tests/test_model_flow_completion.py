@@ -1,0 +1,97 @@
+"""Golden parity: JAX RecurrentFlowCompleteNet vs the reference (random
+weights, torchvision stubbed with a vectorized deform-conv oracle)."""
+
+import numpy as np
+import pytest
+import torch
+import jax.numpy as jnp
+
+from oracles import install_reference_path, seed_torch_model, torch_deform_conv2d
+
+install_reference_path()
+
+from model.recurrent_flow_completion import (  # noqa: E402 (reference)
+    RecurrentFlowCompleteNet,
+)
+
+from comfyui_propainter_nodes_tpu.utils.checkpoint import convert_state_dict
+from comfyui_propainter_nodes_tpu.models import flow_completion as jfc
+
+
+@pytest.fixture(scope="module")
+def torch_model():
+    m = RecurrentFlowCompleteNet()
+    seed_torch_model(m, seed=0)
+    m.eval()
+    return m
+
+
+@pytest.fixture(scope="module")
+def jax_params(torch_model):
+    return {
+        k: jnp.asarray(v) for k, v in convert_state_dict(torch_model.state_dict()).items()
+    }
+
+
+def test_deform_oracle_vs_numpy():
+    """The vectorized torch deform-conv used to stub torchvision must match
+    the slow numpy oracle."""
+    from test_ops_deform_dilate import _np_deform_conv2d
+
+    rng = np.random.default_rng(0)
+    n, cin, cout, g, h, w = 1, 8, 4, 2, 5, 6
+    k = 9
+    x = torch.from_numpy(rng.standard_normal((n, cin, h, w)).astype(np.float32))
+    off = torch.from_numpy(
+        (rng.standard_normal((n, 2 * g * k, h, w)) * 1.5).astype(np.float32)
+    )
+    mask = torch.from_numpy(rng.uniform(0, 1, (n, g * k, h, w)).astype(np.float32))
+    wgt = torch.from_numpy(rng.standard_normal((cout, cin, 3, 3)).astype(np.float32))
+    ref = _np_deform_conv2d(x.numpy(), off.numpy(), mask.numpy(), wgt.numpy(), None)
+    out = torch_deform_conv2d(x, off, wgt, None, (1, 1), (1, 1), (1, 1), mask)
+    np.testing.assert_allclose(out.numpy(), ref, atol=1e-4, rtol=1e-4)
+
+
+def test_forward_parity(torch_model, jax_params):
+    rng = np.random.default_rng(1)
+    b, t, h, w = 1, 5, 64, 96  # t = number of flows
+    flows = (rng.standard_normal((b, t, h, w, 2)) * 2).astype(np.float32)
+    masks = (rng.uniform(size=(b, t, h, w, 1)) > 0.7).astype(np.float32)
+
+    ft = torch.from_numpy(flows).permute(0, 1, 4, 2, 3)
+    mt = torch.from_numpy(masks).permute(0, 1, 4, 2, 3)
+    with torch.no_grad():
+        ref, _ = torch_model.forward(ft, mt)
+    ref = ref.permute(0, 1, 3, 4, 2).numpy()
+
+    ours = np.asarray(
+        jfc.flow_complete_forward(jax_params, jnp.asarray(flows), jnp.asarray(masks))
+    )
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(ours, ref, atol=5e-4, rtol=1e-3)
+
+
+def test_bidirect_and_combine_parity(torch_model, jax_params):
+    rng = np.random.default_rng(2)
+    b, t, h, w = 1, 6, 64, 64
+    flows_f = (rng.standard_normal((b, t - 1, h, w, 2)) * 2).astype(np.float32)
+    flows_b = (rng.standard_normal((b, t - 1, h, w, 2)) * 2).astype(np.float32)
+    masks = (rng.uniform(size=(b, t, h, w, 1)) > 0.7).astype(np.float32)
+
+    fft = torch.from_numpy(flows_f).permute(0, 1, 4, 2, 3)
+    fbt = torch.from_numpy(flows_b).permute(0, 1, 4, 2, 3)
+    mt = torch.from_numpy(masks).permute(0, 1, 4, 2, 3)
+    with torch.no_grad():
+        pred_bi, _ = torch_model.forward_bidirect_flow((fft, fbt), mt)
+        comb = torch_model.combine_flow((fft, fbt), pred_bi, mt)
+    ref_f = comb[0].permute(0, 1, 3, 4, 2).numpy()
+    ref_b = comb[1].permute(0, 1, 3, 4, 2).numpy()
+
+    pf, pb = jfc.forward_bidirect_flow(
+        jax_params, jnp.asarray(flows_f), jnp.asarray(flows_b), jnp.asarray(masks)
+    )
+    of, ob = jfc.combine_flow(
+        jnp.asarray(flows_f), jnp.asarray(flows_b), pf, pb, jnp.asarray(masks)
+    )
+    np.testing.assert_allclose(np.asarray(of), ref_f, atol=5e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(ob), ref_b, atol=5e-4, rtol=1e-3)
