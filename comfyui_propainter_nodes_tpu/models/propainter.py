@@ -1,0 +1,317 @@
+"""ProPainter InpaintGenerator, TPU-native.
+
+Re-design of the reference InpaintGenerator (model/propainter.py:294-453)
+for XLA:
+
+  * encoder with the grouped feature-fusion trick (:234-275) on NHWC;
+  * image propagation (:85-231, learnable=False) — pure warp/mask algebra
+    — and feature propagation (learnable=True, deformable alignment) both
+    as `lax.scan` over frames;
+  * soft split/comp + 8 temporal-sparse-transformer blocks from
+    ops/attention.py (static both-branch window attention);
+  * decoder only over local frames (:450-451).
+
+Params: flat torch-named dict (utils/checkpoint.py layouts).
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import (
+    binarize,
+    deform_conv2d,
+    fb_consistency_check,
+    flow_warp,
+    leaky_relu,
+    max_pool2d,
+    pconv2d,
+    resize_bilinear,
+    resize_nearest,
+)
+from ..ops.attention import soft_comp, soft_split, transformer_stack
+
+Params = Mapping[str, jnp.ndarray]
+
+CHANNEL = 128
+HIDDEN = 512
+DEFORM_GROUPS = 16
+
+
+# ----------------------------------------------------------------- encoder
+
+_ENC_GROUPS = {10: 2, 12: 4, 14: 8, 16: 1}
+
+
+def encoder(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """Encoder (model/propainter.py:234-275). x: [N, H, W, 5] -> 1/4-res
+    [N, H/4, W/4, 128] with grouped fusion of the layer-7 activation."""
+    out = x
+    x0 = None
+    for i in range(0, 18, 2):
+        if i == 8:
+            x0 = out  # 256ch activation saved for group fusion
+        if i > 8:
+            g = _ENC_GROUPS[i]
+            n, h, w, _ = out.shape
+            xg = x0.reshape(n, h, w, g, -1)
+            og = out.reshape(n, h, w, g, -1)
+            out = jnp.concatenate([xg, og], axis=-1).reshape(n, h, w, -1)
+        stride = (2, 2) if i in (0, 4) else (1, 1)
+        groups = _ENC_GROUPS.get(i, 1)
+        out = pconv2d(
+            p, f"encoder.layers.{i}", out, stride=stride, padding=(1, 1), groups=groups
+        )
+        out = leaky_relu(out, 0.2)
+    return out
+
+
+def decoder(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """decoder (model/propainter.py:304-312): two 2x (bilinear
+    align_corners=True) deconvs back to full res, 3 channels."""
+
+    def deconv(pre, v):
+        n, h, w, _ = v.shape
+        v = resize_bilinear(v, 2 * h, 2 * w, align_corners=True)
+        return pconv2d(p, pre + ".conv", v, padding=(1, 1))
+
+    x = leaky_relu(deconv("decoder.0", x), 0.2)
+    x = leaky_relu(pconv2d(p, "decoder.2", x, padding=(1, 1)), 0.2)
+    x = leaky_relu(deconv("decoder.4", x), 0.2)
+    return pconv2d(p, "decoder.6", x, padding=(1, 1))
+
+
+# ------------------------------------------------- deformable alignment
+
+
+def _deformable_alignment(
+    p: Params, pre: str, x: jnp.ndarray, cond: jnp.ndarray, flow: jnp.ndarray
+) -> jnp.ndarray:
+    """DeformableAlignment (model/propainter.py:39-82): 1st-order, offsets
+    are residuals on the flow. x: [N,H,W,C]; cond: [N,H,W,2C+5];
+    flow: [N,H,W,2] (dx, dy)."""
+    n, h, w, _ = x.shape
+    o = leaky_relu(pconv2d(p, pre + ".conv_offset.0", cond, padding=(1, 1)), 0.1)
+    o = leaky_relu(pconv2d(p, pre + ".conv_offset.2", o, padding=(1, 1)), 0.1)
+    o = leaky_relu(pconv2d(p, pre + ".conv_offset.4", o, padding=(1, 1)), 0.1)
+    o = pconv2d(p, pre + ".conv_offset.6", o, padding=(1, 1))  # 27*G
+
+    g9 = DEFORM_GROUPS * 9
+    o1, o2, mask = o[..., :g9], o[..., g9 : 2 * g9], o[..., 2 * g9 :]
+    offset = 3.0 * jnp.tanh(jnp.concatenate([o1, o2], axis=-1))
+    offset = offset.reshape(n, h, w, DEFORM_GROUPS, 9, 2)
+    # reference adds flow.flip(1) tiled over pairs: (dy, dx) += (fy, fx)
+    flow_yx = jnp.stack([flow[..., 1], flow[..., 0]], axis=-1)
+    offset = offset + flow_yx[:, :, :, None, None, :]
+    mask = jax.nn.sigmoid(mask).reshape(n, h, w, DEFORM_GROUPS, 9)
+    return deform_conv2d(x, offset, mask, p[pre + ".weight"], p[pre + ".bias"])
+
+
+# --------------------------------------------- bidirectional propagation
+
+
+def _prop_direction_image(x_seq, mask_seq, flows_prop, flows_check, interpolation):
+    """Non-learnable direction (model/propainter.py:149-196): warp-fill.
+
+    x_seq/mask_seq: [T, N, H, W, C]; flows_*: [T-1, N, H, W, 2] aligned so
+    step i in scan order uses flows[i-1]. Returns (feats, masks) [T, ...].
+    """
+
+    def step(carry, inputs):
+        feat_prop, mask_prop = carry
+        feat_current, mask_current, flow_prop, flow_check = inputs
+        valid = fb_consistency_check(flow_prop, flow_check)
+        feat_warped = flow_warp(feat_prop, flow_prop, interpolation)
+        mask_prop_valid = flow_warp(mask_prop, flow_prop)  # bilinear
+        mask_prop_valid = binarize(mask_prop_valid)
+        union = binarize(mask_current * valid * (1 - mask_prop_valid))
+        feat_prop = union * feat_warped + (1 - union) * feat_current
+        mask_prop = binarize(mask_current * (1 - valid * (1 - mask_prop_valid)))
+        return (feat_prop, mask_prop), (feat_prop, mask_prop)
+
+    (f0, m0) = (x_seq[0], mask_seq[0])
+    _, (feats, masks) = jax.lax.scan(
+        step, (f0, m0), (x_seq[1:], mask_seq[1:], flows_prop, flows_check)
+    )
+    feats = jnp.concatenate([f0[None], feats], axis=0)
+    masks = jnp.concatenate([m0[None], masks], axis=0)
+    return feats, masks
+
+
+def _prop_direction_feature(p, module, x_seq, mask_seq, flows_prop, flows_check):
+    """Learnable direction (model/propainter.py:149-205): deform-aligned.
+
+    mask_seq here is the 2-channel prop mask (mask_in ++ mask_updated).
+    """
+    da = f"feat_prop_module.deform_align.{module}"
+    bb = f"feat_prop_module.backbone.{module}"
+
+    def backbone(p_, feat):
+        y = leaky_relu(pconv2d(p_, bb + ".0", feat, padding=(1, 1)), 0.2)
+        return pconv2d(p_, bb + ".2", y, padding=(1, 1))
+
+    def refine(feat_current, mask_current, feat_prop):
+        feat = jnp.concatenate([feat_current, feat_prop, mask_current], axis=-1)
+        return feat_prop + backbone(p, feat)
+
+    out0 = refine(x_seq[0], mask_seq[0], x_seq[0])
+
+    def step(feat_prop, inputs):
+        feat_current, mask_current, flow_prop, flow_check = inputs
+        valid = fb_consistency_check(flow_prop, flow_check)
+        feat_warped = flow_warp(feat_prop, flow_prop)
+        cond = jnp.concatenate(
+            [feat_current, feat_warped, flow_prop, valid, mask_current], axis=-1
+        )
+        feat_prop = _deformable_alignment(p, da, feat_prop, cond, flow_prop)
+        feat_prop = refine(feat_current, mask_current, feat_prop)
+        return feat_prop, feat_prop
+
+    _, rest = jax.lax.scan(
+        step, out0, (x_seq[1:], mask_seq[1:], flows_prop, flows_check)
+    )
+    return jnp.concatenate([out0[None], rest], axis=0)
+
+
+def bidirectional_propagation_image(x, flows_f, flows_b, mask, interpolation="nearest"):
+    """learnable=False BidirectionalPropagation (model/propainter.py:118-231).
+
+    x: [B, T, H, W, 3]; flows: [B, T-1, H, W, 2]; mask: [B, T, H, W, 1].
+    Returns (prop_frames, updated_masks) [B, T, H, W, *] — the reference's
+    `outputs` (= forward-pass features) and `masks_f`.
+    """
+    xs = jnp.moveaxis(x, 1, 0)
+    ms = jnp.moveaxis(mask, 1, 0)
+    ff = jnp.moveaxis(flows_f, 1, 0)
+    fb = jnp.moveaxis(flows_b, 1, 0)
+
+    # backward pass: process frames t-1..0; at step for frame idx the prop
+    # flow is flows_forward[idx] (reference :137-141)
+    feats_b, masks_b = _prop_direction_image(
+        xs[::-1], ms[::-1], ff[::-1], fb[::-1], interpolation
+    )
+    feats_b = feats_b[::-1]
+    masks_b = masks_b[::-1]
+    # forward pass: inputs are the backward-pass outputs — features AND
+    # updated masks (cache chaining, reference :150 cache_list); prop flow
+    # is flows_backward[idx-1]
+    feats_f, masks_f = _prop_direction_image(feats_b, masks_b, fb, ff, interpolation)
+
+    return jnp.moveaxis(feats_f, 0, 1), jnp.moveaxis(masks_f, 0, 1)
+
+
+def bidirectional_propagation_feature(p: Params, x, flows_f, flows_b, mask):
+    """learnable=True BidirectionalPropagation (model/propainter.py:118-231).
+
+    x: [B, T, H, W, 128]; mask: [B, T, H, W, 2]. Returns [B, T, H, W, 128].
+    """
+    b, t, h, w, c = x.shape
+    xs = jnp.moveaxis(x, 1, 0)
+    ms = jnp.moveaxis(mask, 1, 0)
+    ff = jnp.moveaxis(flows_f, 1, 0)
+    fb = jnp.moveaxis(flows_b, 1, 0)
+
+    feats_b = _prop_direction_feature(
+        p, "backward_1", xs[::-1], ms[::-1], ff[::-1], fb[::-1]
+    )[::-1]
+    feats_f = _prop_direction_feature(p, "forward_1", feats_b, ms, fb, ff)
+
+    fused_in = jnp.concatenate([feats_b, feats_f, ms], axis=-1)
+    fused_in = fused_in.reshape(t * b, h, w, 2 * c + 2)
+    y = leaky_relu(
+        pconv2d(p, "feat_prop_module.fuse.0", fused_in, padding=(1, 1)), 0.2
+    )
+    y = pconv2d(p, "feat_prop_module.fuse.2", y, padding=(1, 1))
+    y = y.reshape(t, b, h, w, c)
+    return jnp.moveaxis(y + xs, 0, 1)
+
+
+# ------------------------------------------------------------------ forward
+
+
+def img_propagation(masked_frames, flows_f, flows_b, masks, interpolation="nearest"):
+    """InpaintGenerator.img_propagation (model/propainter.py:350-356)."""
+    return bidirectional_propagation_image(
+        masked_frames, flows_f, flows_b, masks, interpolation
+    )
+
+
+def inpaint_generator_forward(
+    p: Params,
+    masked_frames: jnp.ndarray,
+    flows_f: jnp.ndarray,
+    flows_b: jnp.ndarray,
+    masks_in: jnp.ndarray,
+    masks_updated: jnp.ndarray,
+    num_local_frames: int,
+) -> jnp.ndarray:
+    """InpaintGenerator.forward (model/propainter.py:358-453), inference.
+
+    masked_frames: [B, T, H, W, 3] in [-1, 1]
+    flows_f/b:     [B, l_t-1, H, W, 2] completed flows
+    masks_in:      [B, T, H, W, 1] original dilated masks
+    masks_updated: [B, T, H, W, 1] masks after image propagation
+    Returns predicted local frames [B, l_t, H, W, 3] in [-1, 1].
+    """
+    l_t = num_local_frames
+    b, t, ori_h, ori_w, _ = masked_frames.shape
+    h, w = ori_h // 4, ori_w // 4
+
+    enc_in = jnp.concatenate([masked_frames, masks_in, masks_updated], axis=-1)
+    enc_feat = encoder(p, enc_in.reshape(b * t, ori_h, ori_w, 5))
+    enc_feat = enc_feat.reshape(b, t, h, w, CHANNEL)
+    local_feat, ref_feat = enc_feat[:, :l_t], enc_feat[:, l_t:]
+
+    def ds_flow(f):
+        n_, t_, hh, ww, _ = f.shape
+        f2 = resize_bilinear(
+            f.reshape(n_ * t_, hh, ww, 2), h, w, align_corners=False
+        )
+        return f2.reshape(n_, t_, h, w, 2) / 4.0
+
+    ds_flows_f = ds_flow(flows_f)
+    ds_flows_b = ds_flow(flows_b)
+
+    def ds_mask(m):
+        n_, t_, hh, ww, _ = m.shape
+        m2 = resize_nearest(m.reshape(n_ * t_, hh, ww, 1), h, w)
+        return m2.reshape(n_, t_, h, w, 1)
+
+    ds_mask_in = ds_mask(masks_in)
+    ds_mask_in_local = ds_mask_in[:, :l_t]
+    ds_mask_updated_local = ds_mask(masks_updated[:, :l_t])
+
+    # attention sparsity map over local frames (model/propainter.py:425-428)
+    mask_pool_l = max_pool2d(
+        ds_mask_in_local.reshape(b * l_t, h, w, 1), (7, 7), (3, 3), (3, 3)
+    )
+    mh, mw = mask_pool_l.shape[1], mask_pool_l.shape[2]
+    mask_pool_l = mask_pool_l.reshape(b, l_t, mh, mw, 1)
+
+    prop_mask_in = jnp.concatenate(
+        [ds_mask_in_local, ds_mask_updated_local], axis=-1
+    )
+    local_feat = bidirectional_propagation_feature(
+        p, local_feat, ds_flows_f, ds_flows_b, prop_mask_in
+    )
+    enc_feat = jnp.concatenate([local_feat, ref_feat], axis=1)
+
+    trans_feat = soft_split(p, "ss", enc_feat.reshape(b * t, h, w, CHANNEL))
+    fh, fw = trans_feat.shape[1], trans_feat.shape[2]
+    trans_feat = trans_feat.reshape(b, t, fh, fw, HIDDEN)
+
+    trans_feat = transformer_stack(
+        p, "transformers", trans_feat, (h, w), mask_pool_l
+    )
+
+    trans_feat = soft_comp(
+        p, "sc", trans_feat.reshape(b * t, fh, fw, HIDDEN), (h, w)
+    )
+    enc_feat = enc_feat + trans_feat.reshape(b, t, h, w, CHANNEL)
+
+    local = enc_feat[:, :l_t].reshape(b * l_t, h, w, CHANNEL)
+    out = decoder(p, local)
+    return jnp.tanh(out).reshape(b, l_t, ori_h, ori_w, 3)

@@ -1,0 +1,288 @@
+"""Temporal sparse window attention + token (de)composition, TPU-native.
+
+Re-design of the reference sparse transformer internals
+(model/modules/sparse_transformer.py) for XLA's static-shape world.
+
+The reference splits windows into "masked" (attend over all frames with
+window+rolled+pooled keys) and "unmasked" (attend within the window per
+frame) using data-dependent `nonzero()` index sets inside a Python loop
+over the batch (sparse_transformer.py:327-380) — unjittable and
+MXU-hostile. Here both branches are computed batched for every window with
+one big attention each, and the per-window occupancy bit selects the
+result. The masked branch dominates FLOPs either way; a Pallas kernel
+with occupancy-based block skipping is the planned upgrade
+(ops/pallas/window_attention.py).
+
+Window geometry (defaults): window (5, 9) = 45 tokens over an
+(f_h, f_w) = (H/4 tokens) grid, 4 rolled copies of K/V masked to the 148
+out-of-window positions, and a 4x4 depthwise-pooled global token grid.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Mapping
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .conv import conv2d, linear, layer_norm, leaky_relu
+from .patches import unfold, fold, fold_normalizer
+from .pool import max_pool2d
+
+Params = Mapping[str, jnp.ndarray]
+
+
+# ------------------------------------------------------- token (de)compose
+
+
+def soft_split(p: Params, pre: str, x: jnp.ndarray) -> jnp.ndarray:
+    """SoftSplit (sparse_transformer.py:8-36): overlapping-patch tokenize.
+
+    x: [N, H, W, C] -> [N, f_h, f_w, hidden]. Patch vectors are ordered
+    channel-major (C, kh, kw) to match the torch Linear weight.
+    """
+    patches = unfold(x, (7, 7), (3, 3), (3, 3))  # [N, fh, fw, 7, 7, C]
+    n, fh, fw, kh, kw, c = patches.shape
+    vec = patches.transpose(0, 1, 2, 5, 3, 4).reshape(n, fh, fw, c * kh * kw)
+    return linear(p, pre + ".embedding", vec)
+
+
+def soft_comp(
+    p: Params, pre: str, tokens: jnp.ndarray, output_size: tuple[int, int]
+) -> jnp.ndarray:
+    """SoftComp (sparse_transformer.py:39-64): overlap-add de-tokenize.
+
+    tokens: [N, f_h, f_w, hidden] -> [N, H, W, C] (+ 3x3 bias conv).
+    """
+    n, fh, fw, _ = tokens.shape
+    vec = linear(p, pre + ".embedding", tokens)  # [N, fh, fw, C*49]
+    c = vec.shape[-1] // 49
+    patches = vec.reshape(n, fh, fw, c, 7, 7).transpose(0, 1, 2, 4, 5, 3)
+    out = fold(patches, output_size, (7, 7), (3, 3), (3, 3))
+    return conv2d(
+        out, p[pre + ".bias_conv.weight"], p[pre + ".bias_conv.bias"], padding=(1, 1)
+    )
+
+
+# ----------------------------------------------------------- window helpers
+
+
+@functools.lru_cache(maxsize=8)
+def _valid_rolled_indices(window_size: tuple[int, int]) -> np.ndarray:
+    """Static index set for the 4 rolled K/V copies
+    (sparse_transformer.py:184-197): positions outside the un-rolled
+    window survive, concatenated over (tl, tr, bl, br)."""
+    wh, ww = window_size
+    eh, ew = (wh + 1) // 2, (ww + 1) // 2
+    masks = []
+    for corner in ("tl", "tr", "bl", "br"):
+        m = np.ones((wh, ww), np.bool_)
+        hs = slice(None, -eh) if corner in ("tl", "tr") else slice(eh, None)
+        ws = slice(None, -ew) if corner in ("tl", "bl") else slice(ew, None)
+        m[hs, ws] = False
+        masks.append(m)
+    flat = np.stack(masks, 0).reshape(-1)
+    return np.nonzero(flat)[0]
+
+
+def _window_partition(x: jnp.ndarray, window: tuple[int, int], n_head: int):
+    """[B, T, H, W, C] -> [B, nW, head, T, wh*ww, C/head]
+    (sparse_transformer.py:126-145)."""
+    b, t, h, w, c = x.shape
+    wh, ww = window
+    nh, nw = h // wh, w // ww
+    x = x.reshape(b, t, nh, wh, nw, ww, n_head, c // n_head)
+    x = x.transpose(0, 2, 4, 6, 1, 3, 5, 7)  # b, nh, nw, head, t, wh, ww, ch
+    return x.reshape(b, nh * nw, n_head, t, wh * ww, c // n_head)
+
+
+def sparse_window_attention(
+    p: Params,
+    pre: str,
+    x: jnp.ndarray,
+    mask: jnp.ndarray,
+    t_ind: np.ndarray | None,
+    n_head: int = 4,
+    window_size: tuple[int, int] = (5, 9),
+    pool_size: tuple[int, int] = (4, 4),
+) -> jnp.ndarray:
+    """SparseWindowAttention.forward (sparse_transformer.py:201-393).
+
+    x:    [B, T, H, W, C] tokens (post-LN)
+    mask: [B, l_t, H, W, 1] local-frame sparsity mask (pre-pad token grid)
+    t_ind: static frame subset for the masked branch (temporal dilation),
+           or None for all frames.
+    """
+    b, t, h, w, c = x.shape
+    wh, ww = window_size
+    ch = c // n_head
+    n_wh = -(-h // wh)
+    n_ww = -(-w // ww)
+    new_h, new_w = n_wh * wh, n_ww * ww
+    pad_b, pad_r = new_h - h, new_w - w
+    if pad_b or pad_r:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, pad_b), (0, pad_r), (0, 0)))
+        mask = jnp.pad(mask, ((0, 0), (0, 0), (0, pad_b), (0, pad_r), (0, 0)))
+    n_win = n_wh * n_ww
+
+    q = linear(p, pre + ".query", x)
+    k = linear(p, pre + ".key", x)
+    v = linear(p, pre + ".value", x)
+
+    win_q = _window_partition(q, window_size, n_head)  # [B,nW,hd,T,45,ch]
+    win_k = _window_partition(k, window_size, n_head)
+    win_v = _window_partition(v, window_size, n_head)
+
+    # rolled K/V: 4 diagonal shifts, keep out-of-window survivors
+    eh, ew = (wh + 1) // 2, (ww + 1) // 2
+    shifts = [(-eh, -ew), (-eh, ew), (eh, -ew), (eh, ew)]
+    rolled_k = jnp.concatenate(
+        [
+            _window_partition(jnp.roll(k, s, axis=(2, 3)), window_size, n_head)
+            for s in shifts
+        ],
+        axis=4,
+    )
+    rolled_v = jnp.concatenate(
+        [
+            _window_partition(jnp.roll(v, s, axis=(2, 3)), window_size, n_head)
+            for s in shifts
+        ],
+        axis=4,
+    )
+    idx = jnp.asarray(_valid_rolled_indices(window_size))
+    rolled_k = rolled_k[:, :, :, :, idx]
+    rolled_v = rolled_v[:, :, :, :, idx]
+
+    # pooled global tokens: depthwise avg conv (weights from checkpoint)
+    bt = b * t
+    pool_x = conv2d(
+        x.reshape(bt, new_h, new_w, c),
+        p[pre + ".pool_layer.weight"],
+        p[pre + ".pool_layer.bias"],
+        stride=pool_size,
+        groups=c,
+    )
+    p_h, p_w = pool_x.shape[1], pool_x.shape[2]
+    pool_x = pool_x.reshape(b, t, p_h, p_w, c)
+    pool_k = linear(p, pre + ".key", pool_x)
+    pool_v = linear(p, pre + ".value", pool_x)
+
+    def heads_of(a):  # [B,T,ph,pw,C] -> [B,1,head,T,ph*pw,ch] broadcast nW
+        a = a.reshape(b, t, p_h * p_w, n_head, ch).transpose(0, 3, 1, 2, 4)
+        return a[:, None]  # [B,1,head,T,P,ch]
+
+    pool_k_b = jnp.broadcast_to(
+        heads_of(pool_k), (b, n_win, n_head, t, p_h * p_w, ch)
+    )
+    pool_v_b = jnp.broadcast_to(
+        heads_of(pool_v), (b, n_win, n_head, t, p_h * p_w, ch)
+    )
+
+    k_all = jnp.concatenate([win_k, rolled_k, pool_k_b], axis=4)
+    v_all = jnp.concatenate([win_v, rolled_v, pool_v_b], axis=4)
+
+    scale = 1.0 / math.sqrt(ch)
+
+    # ---- branch A: masked windows attend across (t_ind) frames, all keys
+    if t_ind is not None:
+        ti = jnp.asarray(np.asarray(t_ind))
+        k_sel = k_all[:, :, :, ti]
+        v_sel = v_all[:, :, :, ti]
+    else:
+        k_sel, v_sel = k_all, v_all
+    t_sel, k_per_t = k_sel.shape[3], k_sel.shape[4]
+    qa = win_q.reshape(b, n_win, n_head, t * wh * ww, ch)
+    ka = k_sel.reshape(b, n_win, n_head, t_sel * k_per_t, ch)
+    va = v_sel.reshape(b, n_win, n_head, t_sel * k_per_t, ch)
+    att_a = jnp.einsum("bwhqc,bwhkc->bwhqk", qa, ka) * scale
+    att_a = jax.nn.softmax(att_a, axis=-1)
+    out_a = jnp.einsum("bwhqk,bwhkc->bwhqc", att_a, va)
+    out_a = out_a.reshape(b, n_win, n_head, t, wh * ww, ch)
+
+    # ---- branch B: unmasked windows attend within-window, per frame
+    att_b = jnp.einsum("bwhtqc,bwhtkc->bwhtqk", win_q, win_k) * scale
+    att_b = jax.nn.softmax(att_b, axis=-1)
+    out_b = jnp.einsum("bwhtqk,bwhtkc->bwhtqc", att_b, win_v)
+
+    # ---- occupancy select (sparse_transformer.py:322-326)
+    l_t = mask.shape[1]
+    occ = max_pool2d(
+        mask.reshape(b * l_t, new_h, new_w, 1), window_size, window_size
+    )
+    occ = occ.reshape(b, l_t, n_win).sum(axis=1) > 0  # [B, nW]
+    out = jnp.where(occ[:, :, None, None, None, None], out_a, out_b)
+
+    # re-assemble [B,nW,hd,T,45,ch] -> [B,T,new_h,new_w,C]
+    out = out.reshape(b, n_wh, n_ww, n_head, t, wh, ww, ch)
+    out = out.transpose(0, 4, 1, 5, 2, 6, 3, 7).reshape(b, t, new_h, new_w, c)
+    out = out[:, :, :h, :w]
+    return linear(p, pre + ".proj", out)
+
+
+# -------------------------------------------------------------- FFN + block
+
+
+def fusion_feed_forward(
+    p: Params, pre: str, x: jnp.ndarray, output_size: tuple[int, int]
+) -> jnp.ndarray:
+    """FusionFeedForward (sparse_transformer.py:67-123): MLP with fold/
+    unfold overlap re-normalization in a 40-dim bottleneck space.
+
+    x: [N_frames, f_h, f_w, dim].
+    """
+    n, fh, fw, _ = x.shape
+    y = linear(p, pre + ".fc1.0", x)  # [N, fh, fw, 1960]
+    c_mid = y.shape[-1] // 49  # 40
+    patches = y.reshape(n, fh, fw, c_mid, 7, 7).transpose(0, 1, 2, 4, 5, 3)
+    canvas = fold(patches, output_size, (7, 7), (3, 3), (3, 3))
+    norm = fold_normalizer((fh, fw), output_size, (7, 7), (3, 3), (3, 3), canvas.dtype)
+    canvas = canvas / norm[None]
+    patches = unfold(canvas, (7, 7), (3, 3), (3, 3))  # [N, fh, fw, 7, 7, 40]
+    y = patches.transpose(0, 1, 2, 5, 3, 4).reshape(n, fh, fw, c_mid * 49)
+    y = jax.nn.gelu(y, approximate=False)
+    return linear(p, pre + ".fc2.1", y)
+
+
+def transformer_block(
+    p: Params,
+    pre: str,
+    x: jnp.ndarray,
+    fold_size: tuple[int, int],
+    mask: jnp.ndarray,
+    t_ind: np.ndarray | None,
+) -> jnp.ndarray:
+    """TemporalSparseTransformer (sparse_transformer.py:396-433).
+
+    x: [B, T, f_h, f_w, C] tokens.
+    """
+    b, t, fh, fw, c = x.shape
+    shortcut = x
+    xn = layer_norm(p, pre + ".norm1", x)
+    att = sparse_window_attention(p, pre + ".attention", xn, mask, t_ind)
+    x = shortcut + att
+    y = layer_norm(p, pre + ".norm2", x)
+    mlp = fusion_feed_forward(
+        p, pre + ".mlp", y.reshape(b * t, fh, fw, c), fold_size
+    ).reshape(b, t, fh, fw, c)
+    return x + mlp
+
+
+def transformer_stack(
+    p: Params,
+    pre: str,
+    x: jnp.ndarray,
+    fold_size: tuple[int, int],
+    mask: jnp.ndarray,
+    depths: int = 8,
+    t_dilation: int = 2,
+) -> jnp.ndarray:
+    """TemporalSparseTransformerBlock (sparse_transformer.py:436-467)."""
+    t = x.shape[1]
+    for i in range(depths):
+        t_ind = np.arange(i % t_dilation, t, t_dilation)
+        x = transformer_block(p, f"{pre}.transformer.{i}", x, fold_size, mask, t_ind)
+    return x
