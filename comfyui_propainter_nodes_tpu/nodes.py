@@ -1,0 +1,254 @@
+"""ComfyUI node API, byte-compatible with the reference.
+
+ProPainterInpaint / ProPainterOutpaint expose the same INPUT_TYPES /
+RETURN_TYPES / RETURN_NAMES / FUNCTION / CATEGORY contract as the
+reference (propainter_nodes.py:38-321) so existing workflow JSONs run
+unchanged, while the implementation is the TPU-native pipeline.
+
+Standalone-friendly: inputs may be torch tensors (ComfyUI convention),
+numpy arrays, or jax arrays; outputs mirror the input ecosystem (torch
+tensors when torch is importable, numpy otherwise). No ComfyUI import is
+required — device selection is jax's default backend.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from .config import ImageConfig, OutpaintConfig, PipelineConfig
+from .pipeline.stages import Pipeline
+from .utils import image as image_utils
+from .utils import weights as weights_zoo
+
+_PIPELINE_CACHE: dict = {}
+
+
+def _to_numpy(x) -> np.ndarray:
+    if hasattr(x, "detach"):  # torch tensor
+        return x.detach().cpu().numpy()
+    return np.asarray(x)
+
+
+def _to_output(x: np.ndarray):
+    try:
+        import torch
+
+        return torch.from_numpy(np.ascontiguousarray(x))
+    except ImportError:
+        return x
+
+
+def check_inputs(frames: np.ndarray, masks: np.ndarray) -> None:
+    """Input validation (reference propainter_nodes.py:21-35)."""
+    if frames.shape[0] <= 1:
+        raise Exception(
+            f"""Image length must be greater than 1, but got:
+                        Image length: ({frames.shape[0]})"""
+        )
+    if frames.shape[0] != masks.shape[0] and masks.shape[0] != 1:
+        raise Exception(
+            f"""Image and Mask must have the same length or Mask have length 1, but got:
+                        Image length: {frames.shape[0]}
+                        Mask length: {masks.shape[0]}"""
+        )
+    if frames.shape[1] != masks.shape[1] or frames.shape[2] != masks.shape[2]:
+        raise Exception(
+            f"""Image and Mask must have the same dimensions, but got:
+                        Image: ({frames.shape[1]}, {frames.shape[2]})
+                        Mask: ({masks.shape[1]}, {masks.shape[2]})"""
+        )
+
+
+def get_pipeline(config: PipelineConfig, allow_random_weights: bool = False) -> Pipeline:
+    """Pipeline with cached converted weights — fixes the reference's
+    model re-initialization on every invocation (propainter_nodes.py:133)."""
+    key = (config.fp16, allow_random_weights)
+    if key not in _PIPELINE_CACHE:
+        _PIPELINE_CACHE[key] = Pipeline(
+            weights_zoo.get_params("raft", allow_random=allow_random_weights),
+            weights_zoo.get_params("flow_completion", allow_random=allow_random_weights),
+            weights_zoo.get_params(
+                "inpaint_generator", allow_random=allow_random_weights
+            ),
+            config,
+        )
+    pipe = _PIPELINE_CACHE[key]
+    pipe.config = config
+    return pipe
+
+
+class ProPainterInpaint:
+    """ComfyUI Node for performing inpainting on video frames using ProPainter."""
+
+    @classmethod
+    def INPUT_TYPES(s):  # noqa: N804 - ComfyUI contract
+        return {
+            "required": {
+                "image": ("IMAGE",),
+                "mask": ("MASK",),
+                "width": ("INT", {"default": 640, "min": 0, "max": 2560}),
+                "height": ("INT", {"default": 360, "min": 0, "max": 2560}),
+                "mask_dilates": ("INT", {"default": 5, "min": 0, "max": 100}),
+                "flow_mask_dilates": ("INT", {"default": 8, "min": 0, "max": 100}),
+                "ref_stride": ("INT", {"default": 10, "min": 1, "max": 100}),
+                "neighbor_length": ("INT", {"default": 10, "min": 2, "max": 300}),
+                "subvideo_length": ("INT", {"default": 80, "min": 1, "max": 300}),
+                "raft_iter": ("INT", {"default": 20, "min": 1, "max": 100}),
+                "fp16": (["enable", "disable"],),
+            },
+        }
+
+    RETURN_TYPES = ("IMAGE", "MASK", "MASK")
+    RETURN_NAMES = ("IMAGE", "FLOW_MASK", "MASK_DILATE")
+    FUNCTION = "propainter_inpainting"
+    CATEGORY = "ProPainter"
+
+    def propainter_inpainting(
+        self,
+        image,
+        mask,
+        width: int,
+        height: int,
+        mask_dilates: int,
+        flow_mask_dilates: int,
+        ref_stride: int,
+        neighbor_length: int,
+        subvideo_length: int,
+        raft_iter: int,
+        fp16: str,
+        _allow_random_weights: bool = False,
+    ):
+        """Perform inpainting on images input using the ProPainter pipeline."""
+        frames = _to_numpy(image).astype(np.float32)
+        masks = _to_numpy(mask).astype(np.float32)
+        if masks.ndim == 2:
+            masks = masks[None]
+        check_inputs(frames, masks)
+
+        img_cfg = ImageConfig(width, height, mask_dilates, flow_mask_dilates)
+        pw, ph = img_cfg.process_size
+        config = PipelineConfig(
+            ref_stride=ref_stride,
+            neighbor_length=neighbor_length,
+            subvideo_length=subvideo_length,
+            raft_iter=raft_iter,
+            fp16=fp16,
+            process_size=(pw, ph),
+        )
+
+        frames_norm, original = image_utils.prepare_frames(
+            jnp.asarray(frames), pw, ph
+        )
+        if masks.shape[0] == 1:
+            masks = np.broadcast_to(masks, (frames.shape[0],) + masks.shape[1:])
+        flow_masks, masks_dilated = image_utils.prepare_masks(
+            jnp.asarray(masks), pw, ph, flow_mask_dilates, mask_dilates
+        )
+
+        pipe = get_pipeline(config, _allow_random_weights)
+        composed = pipe.process(
+            frames_norm[None], flow_masks[None], masks_dilated[None], original
+        )
+
+        out_images = np.asarray(composed, dtype=np.float32) / 255.0
+        out_flow_masks = np.asarray(flow_masks, dtype=np.float32).squeeze()
+        out_masks_dilated = np.asarray(masks_dilated, dtype=np.float32).squeeze()
+        return (
+            _to_output(out_images),
+            _to_output(out_flow_masks),
+            _to_output(out_masks_dilated),
+        )
+
+
+class ProPainterOutpaint:
+    """ComfyUI Node for performing outpainting on video frames using ProPainter."""
+
+    @classmethod
+    def INPUT_TYPES(s):  # noqa: N804 - ComfyUI contract
+        return {
+            "required": {
+                "image": ("IMAGE",),
+                "width": ("INT", {"default": 640, "min": 0, "max": 2560}),
+                "height": ("INT", {"default": 360, "min": 0, "max": 2560}),
+                "width_scale": (
+                    "FLOAT",
+                    {"default": 1.2, "min": 0.0, "max": 10.0, "step": 0.01},
+                ),
+                "height_scale": (
+                    "FLOAT",
+                    {"default": 1.0, "min": 0.0, "max": 10.0, "step": 0.01},
+                ),
+                "mask_dilates": ("INT", {"default": 5, "min": 0, "max": 100}),
+                "flow_mask_dilates": ("INT", {"default": 8, "min": 0, "max": 100}),
+                "ref_stride": ("INT", {"default": 10, "min": 1, "max": 100}),
+                "neighbor_length": ("INT", {"default": 10, "min": 2, "max": 300}),
+                "subvideo_length": ("INT", {"default": 80, "min": 1, "max": 300}),
+                "raft_iter": ("INT", {"default": 20, "min": 1, "max": 100}),
+                "fp16": (["enable", "disable"],),
+            },
+        }
+
+    RETURN_TYPES = ("IMAGE", "MASK", "INT", "INT")
+    RETURN_NAMES = ("IMAGE", "OUTPAINT_MASK", "output_width", "output_height")
+    FUNCTION = "propainter_outpainting"
+    CATEGORY = "ProPainter"
+
+    def propainter_outpainting(
+        self,
+        image,
+        width: int,
+        height: int,
+        width_scale: float,
+        height_scale: float,
+        mask_dilates: int,
+        flow_mask_dilates: int,
+        ref_stride: int,
+        neighbor_length: int,
+        subvideo_length: int,
+        raft_iter: int,
+        fp16: str,
+        _allow_random_weights: bool = False,
+    ):
+        """Perform outpainting on images input using the ProPainter pipeline."""
+        frames = _to_numpy(image).astype(np.float32)
+
+        img_cfg = OutpaintConfig(
+            width, height, mask_dilates, flow_mask_dilates, width_scale, height_scale
+        )
+        pw, ph = img_cfg.process_size
+        cw, chh = img_cfg.outpaint_size
+        config = PipelineConfig(
+            ref_stride=ref_stride,
+            neighbor_length=neighbor_length,
+            subvideo_length=subvideo_length,
+            raft_iter=raft_iter,
+            fp16=fp16,
+            process_size=(cw, chh),
+        )
+
+        canvas, flow_masks, masks_dilated = image_utils.extrapolate_frames(
+            jnp.asarray(frames), pw, ph, cw, chh
+        )
+        original = jnp.floor(jnp.clip(canvas * 255.0, 0.0, 255.0))
+        frames_norm = canvas * 2.0 - 1.0
+
+        pipe = get_pipeline(config, _allow_random_weights)
+        composed = pipe.process(
+            frames_norm[None], flow_masks[None], masks_dilated[None], original
+        )
+
+        out_images = np.asarray(composed, dtype=np.float32) / 255.0
+        out_masks = np.asarray(masks_dilated, dtype=np.float32).squeeze()
+        return (_to_output(out_images), _to_output(out_masks), cw, chh)
+
+
+NODE_CLASS_MAPPINGS = {
+    "ProPainterInpaint": ProPainterInpaint,
+    "ProPainterOutpaint": ProPainterOutpaint,
+}
+
+NODE_DISPLAY_NAME_MAPPINGS = {
+    "ProPainterInpaint": "ProPainter Inpainting",
+    "ProPainterOutpaint": "ProPainter Outpainting",
+}

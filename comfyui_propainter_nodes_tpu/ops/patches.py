@@ -12,6 +12,7 @@ scatter-adds with static indices.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -62,12 +63,30 @@ def fold(
     n, oh, ow, kh, kw, c = patches.shape
     h, w = output_size
     (sh, sw), (ph, pw) = stride, padding
-    out = jnp.zeros((n, h + 2 * ph, w + 2 * pw, c), dtype=patches.dtype)
+    hp, wp = h + 2 * ph, w + 2 * pw
+    # Each tap (ki, kj) contributes its patch plane on a stride-dilated
+    # grid offset by (ki, kj). lax.pad with interior padding expresses the
+    # dilation + offset as ONE dense op per tap (no XLA scatters, which
+    # are slow to compile and run on TPU).
+    zero = jnp.asarray(0, patches.dtype)
+    out = None
     for ki in range(kh):
+        lo_h = ki
+        hi_h = hp - (ki + sh * (oh - 1) + 1)
         for kj in range(kw):
-            out = out.at[
-                :, ki : ki + sh * (oh - 1) + 1 : sh, kj : kj + sw * (ow - 1) + 1 : sw, :
-            ].add(patches[:, :, :, ki, kj, :])
+            lo_w = kj
+            hi_w = wp - (kj + sw * (ow - 1) + 1)
+            plane = jax.lax.pad(
+                patches[:, :, :, ki, kj, :],
+                zero,
+                (
+                    (0, 0, 0),
+                    (lo_h, hi_h, sh - 1),
+                    (lo_w, hi_w, sw - 1),
+                    (0, 0, 0),
+                ),
+            )
+            out = plane if out is None else out + plane
     return out[:, ph : ph + h, pw : pw + w, :]
 
 

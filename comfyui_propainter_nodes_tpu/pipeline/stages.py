@@ -1,0 +1,346 @@
+"""Pipeline stages: flow -> completion -> image prop -> feature prop.
+
+Orchestrates the four stages of the reference driver
+(propainter_inference.py:61-341) as jitted chunk programs:
+
+  * chunk boundaries replicate the reference exactly (they define output
+    semantics): RAFT width-bucketed clips with 1-frame overlap (:65-93),
+    flow-completion subvideo chunks with 5-frame halo (:115-144),
+    image-propagation chunks of <=100 with 10-frame halo (:172-212),
+    sliding neighbor windows with global refs (:254-307);
+  * each distinct chunk shape compiles once (JitCache) and runs on
+    device end-to-end — composition and overlap blending included, so the
+    video transfers to host exactly once (the reference round-trips every
+    window: propainter_inference.py:286-293);
+  * bf16 ("fp16 enable" on TPU) applies to flow completion + inpainting,
+    RAFT stays fp32 (utils/model_utils.py:55-58).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import PipelineConfig
+from ..models import flow_completion as fc
+from ..models import propainter as pp
+from ..models import raft
+from ..utils.profiling import stage_timer
+
+
+class JitCache:
+    """jit-compile once per (tag, static-arg tuple)."""
+
+    def __init__(self):
+        self._cache: dict = {}
+
+    def get(self, tag: str, static, build: Callable):
+        key = (tag, static)
+        if key not in self._cache:
+            self._cache[key] = jax.jit(build())
+        return self._cache[key]
+
+
+def get_ref_index(
+    mid_neighbor_id: int,
+    neighbor_ids: list[int],
+    video_length: int,
+    ref_stride: int,
+    ref_num: int,
+) -> list[int]:
+    """Global reference frame selection (propainter_inference.py:36-58)."""
+    ref_index = []
+    if ref_num == -1:
+        for i in range(0, video_length, ref_stride):
+            if i not in neighbor_ids:
+                ref_index.append(i)
+    else:
+        start_idx = max(0, mid_neighbor_id - ref_stride * (ref_num // 2))
+        end_idx = min(video_length, mid_neighbor_id + ref_stride * (ref_num // 2))
+        for i in range(start_idx, end_idx, ref_stride):
+            if i not in neighbor_ids:
+                if len(ref_index) > ref_num:
+                    break
+                ref_index.append(i)
+    return ref_index
+
+
+class Pipeline:
+    """End-to-end video inpainting over converted params."""
+
+    def __init__(
+        self,
+        raft_params: dict,
+        flow_params: dict,
+        inpaint_params: dict,
+        config: PipelineConfig,
+    ):
+        self.config = config
+        self.raft_params = jax.tree.map(jnp.asarray, raft_params)
+        cdtype = jnp.bfloat16 if config.use_bf16 else jnp.float32
+        self.cdtype = cdtype
+        self.flow_params = jax.tree.map(
+            lambda a: jnp.asarray(a, dtype=cdtype), flow_params
+        )
+        self.inpaint_params = jax.tree.map(
+            lambda a: jnp.asarray(a, dtype=cdtype), inpaint_params
+        )
+        self.jits = JitCache()
+
+    # ------------------------------------------------------------- stage 1
+
+    def compute_flow(self, frames: jnp.ndarray):
+        """Bidirectional RAFT flow, chunked (propainter_inference.py:61-99).
+
+        frames: [1, T, H, W, 3] in [-1, 1] fp32.
+        Returns (flows_f, flows_b): [1, T-1, H, W, 2] fp32.
+        """
+        cfg = self.config
+        t = frames.shape[1]
+        clip = cfg.raft_chunk_len()
+
+        def build():
+            return lambda fr: raft.raft_bi_forward(
+                self.raft_params, fr, iters=cfg.raft_iter
+            )
+
+        if t <= clip:
+            fn = self.jits.get("raft", (t,) + frames.shape[2:4], build)
+            with stage_timer("compute_flow"):
+                return fn(frames)
+
+        flows_f, flows_b = [], []
+        for c in range(0, t, clip):
+            end_f = min(t, c + clip)
+            s = c if c == 0 else c - 1
+            chunk = frames[:, s:end_f]
+            fn = self.jits.get("raft", (end_f - s,) + frames.shape[2:4], build)
+            with stage_timer("compute_flow"):
+                ff, fb = fn(chunk)
+            flows_f.append(ff)
+            flows_b.append(fb)
+        return (
+            jnp.concatenate(flows_f, axis=1),
+            jnp.concatenate(flows_b, axis=1),
+        )
+
+    # ------------------------------------------------------------- stage 2
+
+    def complete_flow(self, flows, flow_masks):
+        """Flow completion, subvideo chunks with 5-frame halo
+        (propainter_inference.py:102-156).
+
+        flows: (flows_f, flows_b) [1, T-1, H, W, 2]; flow_masks
+        [1, T, H, W, 1]. Returns completed (flows_f, flows_b).
+        """
+        flows_f, flows_b = flows
+        sub = self.config.subvideo_length
+        flow_length = flows_f.shape[1]
+        dt = self.cdtype
+
+        def build():
+            def f(ff, fb, mk):
+                pf, pb = fc.forward_bidirect_flow(self.flow_params, ff, fb, mk)
+                return fc.combine_flow(ff, fb, pf, pb, mk)
+
+            return f
+
+        def run(ff, fb, mk):
+            fn = self.jits.get("flow_complete", ff.shape[1:], build)
+            with stage_timer("complete_flow"):
+                of, ob = fn(ff.astype(dt), fb.astype(dt), mk.astype(dt))
+            return of, ob
+
+        if flow_length <= sub:
+            return run(flows_f, flows_b, flow_masks)
+
+        pad_len = 5
+        out_f, out_b = [], []
+        for f in range(0, flow_length, sub):
+            s_f = max(0, f - pad_len)
+            e_f = min(flow_length, f + sub + pad_len)
+            pad_len_s = f - s_f
+            pad_len_e = e_f - min(flow_length, f + sub)
+            of, ob = run(
+                flows_f[:, s_f:e_f],
+                flows_b[:, s_f:e_f],
+                flow_masks[:, s_f : e_f + 1],
+            )
+            end = e_f - s_f - pad_len_e
+            out_f.append(of[:, pad_len_s:end])
+            out_b.append(ob[:, pad_len_s:end])
+        return jnp.concatenate(out_f, axis=1), jnp.concatenate(out_b, axis=1)
+
+    # ------------------------------------------------------------- stage 3
+
+    def image_propagation(self, frames, masks_dilated, pred_flows):
+        """Pixel-domain propagation, <=100-frame chunks with 10-frame halo
+        (propainter_inference.py:159-225).
+
+        frames [1, T, H, W, 3] (cdtype), masks_dilated [1, T, H, W, 1].
+        Returns (updated_frames, updated_masks).
+        """
+        cfg = self.config
+        t = frames.shape[1]
+        sub = min(100, cfg.subvideo_length)
+        dt = self.cdtype
+        frames = frames.astype(dt)
+        masks_dilated = masks_dilated.astype(dt)
+        flows_f, flows_b = (f.astype(dt) for f in pred_flows)
+
+        def build():
+            def f(fr, mk, ff, fb):
+                masked = fr * (1 - mk)
+                prop, upd_mask = pp.img_propagation(masked, ff, fb, mk, "nearest")
+                updated = fr * (1 - mk) + prop * mk
+                return updated, upd_mask
+
+            return f
+
+        def run(fr, mk, ff, fb):
+            fn = self.jits.get("img_prop", fr.shape[1:], build)
+            with stage_timer("image_propagation"):
+                return fn(fr, mk, ff, fb)
+
+        if t <= sub:
+            return run(frames, masks_dilated, flows_f, flows_b)
+
+        pad_len = 10
+        out_frames, out_masks = [], []
+        for f in range(0, t, sub):
+            s_f = max(0, f - pad_len)
+            e_f = min(t, f + sub + pad_len)
+            pad_len_s = f - s_f
+            pad_len_e = e_f - min(t, f + sub)
+            uf, um = run(
+                frames[:, s_f:e_f],
+                masks_dilated[:, s_f:e_f],
+                flows_f[:, s_f : e_f - 1],
+                flows_b[:, s_f : e_f - 1],
+            )
+            end = e_f - s_f - pad_len_e
+            out_frames.append(uf[:, pad_len_s:end])
+            out_masks.append(um[:, pad_len_s:end])
+        return (
+            jnp.concatenate(out_frames, axis=1),
+            jnp.concatenate(out_masks, axis=1),
+        )
+
+    # ------------------------------------------------------------- stage 4
+
+    def feature_propagation(
+        self,
+        updated_frames,
+        updated_masks,
+        masks_dilated,
+        pred_flows,
+        original_frames,
+    ):
+        """Sliding-window transformer inference + on-device composition
+        (propainter_inference.py:228-311).
+
+        original_frames: [T, H, W, 3] float 0..255 integer-valued.
+        Returns composed video [T, H, W, 3] float 0..255 (uint8-exact).
+        """
+        cfg = self.config
+        t = updated_frames.shape[1]
+        dt = self.cdtype
+        flows_f, flows_b = (f.astype(dt) for f in pred_flows)
+        updated_frames = updated_frames.astype(dt)
+        updated_masks = updated_masks.astype(dt)
+        masks_dilated = masks_dilated.astype(dt)
+
+        neighbor_stride = cfg.neighbor_stride
+        ref_num = cfg.subvideo_length // cfg.ref_stride if t > cfg.subvideo_length else -1
+
+        composed = original_frames.astype(jnp.float32)  # [T, H, W, 3]
+        visited = np.zeros(t, dtype=bool)
+
+        def build():
+            def f(sel_frames, sel_masks, sel_upd_masks, ff, fb, old_slice, orig_slice, blend):
+                l_t = blend.shape[0]
+                pred = pp.inpaint_generator_forward(
+                    self.inpaint_params,
+                    sel_frames,
+                    ff,
+                    fb,
+                    sel_masks,
+                    sel_upd_masks,
+                    l_t,
+                )
+                pred = pred[0].astype(jnp.float32)  # [l_t, H, W, 3]
+                # uint8 compositing (propainter_inference.py:283-307)
+                pred_byte = jnp.floor((pred + 1.0) / 2.0 * 255.0)
+                binary = sel_masks[0, :l_t].astype(jnp.float32)
+                img = pred_byte * binary + orig_slice * (1.0 - binary)
+                img = jnp.floor(img)  # uint8 cast of the composite
+                blended = jnp.floor(
+                    blend[:, None, None, None] * img
+                    + (1.0 - blend[:, None, None, None]) * old_slice
+                )
+                return blended
+
+            return f
+
+        for f in range(0, t, neighbor_stride):
+            neighbor_ids = list(
+                range(max(0, f - neighbor_stride), min(t, f + neighbor_stride + 1))
+            )
+            ref_ids = get_ref_index(
+                f, neighbor_ids, t, cfg.ref_stride, ref_num
+            )
+            l_t = len(neighbor_ids)
+            sel = neighbor_ids + ref_ids
+            sel_idx = jnp.asarray(sel)
+            n0 = neighbor_ids[0]
+
+            sel_frames = updated_frames[:, sel_idx]
+            sel_masks = masks_dilated[:, sel_idx]
+            sel_upd = updated_masks[:, sel_idx]
+            ff = flows_f[:, n0 : n0 + l_t - 1]
+            fb = flows_b[:, n0 : n0 + l_t - 1]
+            old_slice = jax.lax.dynamic_slice_in_dim(composed, n0, l_t, axis=0)
+            orig_slice = jax.lax.dynamic_slice_in_dim(
+                original_frames.astype(jnp.float32), n0, l_t, axis=0
+            )
+            # first visit writes; revisits blend 0.5/0.5
+            blend = jnp.asarray(
+                [0.5 if visited[i] else 1.0 for i in neighbor_ids], jnp.float32
+            )
+            fn = self.jits.get(
+                "feature_prop", (l_t, len(ref_ids)) + updated_frames.shape[2:4], build
+            )
+            with stage_timer("feature_propagation"):
+                blended = fn(
+                    sel_frames, sel_masks, sel_upd, ff, fb, old_slice, orig_slice, blend
+                )
+            composed = jax.lax.dynamic_update_slice_in_dim(
+                composed, blended, n0, axis=0
+            )
+            for i in neighbor_ids:
+                visited[i] = True
+
+        return composed
+
+    # ------------------------------------------------------------ full run
+
+    def process(self, frames_norm, flow_masks, masks_dilated, original_frames):
+        """Full process_inpainting + feature_propagation
+        (propainter_inference.py:314-341, 228-311).
+
+        frames_norm: [1, T, H, W, 3] fp32 in [-1, 1]
+        flow_masks / masks_dilated: [1, T, H, W, 1]
+        original_frames: [T, H, W, 3] float 0..255
+        Returns composed [T, H, W, 3] float 0..255.
+        """
+        gt_flows = self.compute_flow(frames_norm)
+        pred_flows = self.complete_flow(gt_flows, flow_masks)
+        updated_frames, updated_masks = self.image_propagation(
+            frames_norm, masks_dilated, pred_flows
+        )
+        return self.feature_propagation(
+            updated_frames, updated_masks, masks_dilated, pred_flows, original_frames
+        )
