@@ -1,0 +1,110 @@
+"""End-to-end benchmark: inpainted frames/sec on one chip.
+
+Measures the full ProPainterInpaint node (preprocessing -> RAFT ->
+flow completion -> image propagation -> transformer windows -> on-device
+composition) on a synthetic 640x360 clip, default config
+(mirrors BASELINE.md north star: >30 frames/s/chip on v5e).
+
+Prints ONE JSON line on stdout; progress goes to stderr.
+
+Env knobs: BENCH_FRAMES (default 24), BENCH_WIDTH/HEIGHT (640/360),
+BENCH_FP16 (enable|disable, default enable).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import jax
+
+# persistent compilation cache: steady-state numbers survive process
+# restarts and driver re-runs
+cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import numpy as np  # noqa: E402
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def synthetic_clip(t: int, h: int, w: int):
+    rng = np.random.default_rng(0)
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = np.stack([yy / h, xx / w, (yy + xx) / (h + w)], axis=-1).astype(
+        np.float32
+    )
+    frames = np.repeat(base[None], t, axis=0)
+    masks = np.zeros((t, h, w), dtype=np.float32)
+    for i in range(t):
+        x0 = int(w * 0.2) + 3 * i
+        y0 = int(h * 0.3) + i
+        frames[i, y0 : y0 + h // 6, x0 : x0 + w // 8] = [1.0, 0.2, 0.2]
+        masks[i, y0 : y0 + h // 6, x0 : x0 + w // 8] = 1.0
+    return frames, masks
+
+
+def main() -> None:
+    t = int(os.environ.get("BENCH_FRAMES", "24"))
+    w = int(os.environ.get("BENCH_WIDTH", "640"))
+    h = int(os.environ.get("BENCH_HEIGHT", "360"))
+    fp16 = os.environ.get("BENCH_FP16", "enable")
+
+    log(f"bench: {t} frames @ {w}x{h} fp16={fp16} on {jax.devices()[0]}")
+    frames, masks = synthetic_clip(t, h, w)
+
+    from comfyui_propainter_nodes_tpu.nodes import ProPainterInpaint
+    from comfyui_propainter_nodes_tpu.utils import profiling
+
+    node = ProPainterInpaint()
+
+    def run():
+        return node.propainter_inpainting(
+            frames,
+            masks,
+            width=w,
+            height=h,
+            mask_dilates=5,
+            flow_mask_dilates=8,
+            ref_stride=10,
+            neighbor_length=10,
+            subvideo_length=80,
+            raft_iter=20,
+            fp16=fp16,
+            _allow_random_weights=True,
+        )
+
+    t0 = time.perf_counter()
+    out = run()
+    np.asarray(out[0])
+    log(f"warmup (incl. compile): {time.perf_counter() - t0:.1f}s")
+
+    profiling.reset()
+    t0 = time.perf_counter()
+    out = run()
+    np.asarray(out[0])
+    dt = time.perf_counter() - t0
+    fps = t / dt
+    log(f"steady: {dt:.2f}s -> {fps:.2f} frames/s")
+    profiling.log_summary(log)
+
+    baseline_target = 30.0  # BASELINE.md north star frames/s/chip
+    print(
+        json.dumps(
+            {
+                "metric": "inpaint_frames_per_sec_640x360",
+                "value": round(fps, 3),
+                "unit": "frames/s/chip",
+                "vs_baseline": round(fps / baseline_target, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
