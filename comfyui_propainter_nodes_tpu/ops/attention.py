@@ -280,9 +280,42 @@ def transformer_stack(
     depths: int = 8,
     t_dilation: int = 2,
 ) -> jnp.ndarray:
-    """TemporalSparseTransformerBlock (sparse_transformer.py:436-467)."""
+    """TemporalSparseTransformerBlock (sparse_transformer.py:436-467).
+
+    The reference runs `depths` structurally-identical blocks whose only
+    static difference is the temporal-dilation phase cycling with period
+    `t_dilation` (:460-466). Instead of tracing/compiling 8 copies, the
+    per-depth params are stacked [depths/t_dilation, t_dilation, ...] and
+    scanned — one compiled group of t_dilation blocks, 4x less XLA work.
+    """
     t = x.shape[1]
-    for i in range(depths):
-        t_ind = np.arange(i % t_dilation, t, t_dilation)
-        x = transformer_block(p, f"{pre}.transformer.{i}", x, fold_size, mask, t_ind)
+    assert depths % t_dilation == 0
+    groups = depths // t_dilation
+
+    # stack params: "...transformer.{i}.<suffix>" -> [groups, t_dilation, ...]
+    prefix = f"{pre}.transformer.0."
+    suffixes = [k[len(prefix) :] for k in p if k.startswith(prefix)]
+    stacked = {
+        "blk." + s: jnp.stack(
+            [
+                jnp.stack(
+                    [
+                        p[f"{pre}.transformer.{g * t_dilation + d}.{s}"]
+                        for d in range(t_dilation)
+                    ]
+                )
+                for g in range(groups)
+            ]
+        )
+        for s in suffixes
+    }
+    t_inds = [np.arange(d, t, t_dilation) for d in range(t_dilation)]
+
+    def body(x, group_params):
+        for d in range(t_dilation):
+            pd = {k: v[d] for k, v in group_params.items()}
+            x = transformer_block(pd, "blk", x, fold_size, mask, t_inds[d])
+        return x, None
+
+    x, _ = jax.lax.scan(body, x, stacked)
     return x

@@ -103,14 +103,12 @@ class Pipeline:
         clip = cfg.raft_chunk_len()
 
         def build():
-            return lambda fr: raft.raft_bi_forward(
-                self.raft_params, fr, iters=cfg.raft_iter
-            )
+            return lambda prm, fr: raft.raft_bi_forward(prm, fr, iters=cfg.raft_iter)
 
         if t <= clip:
             fn = self.jits.get("raft", (t,) + frames.shape[2:4], build)
             with stage_timer("compute_flow"):
-                return fn(frames)
+                return fn(self.raft_params, frames)
 
         flows_f, flows_b = [], []
         for c in range(0, t, clip):
@@ -119,7 +117,7 @@ class Pipeline:
             chunk = frames[:, s:end_f]
             fn = self.jits.get("raft", (end_f - s,) + frames.shape[2:4], build)
             with stage_timer("compute_flow"):
-                ff, fb = fn(chunk)
+                ff, fb = fn(self.raft_params, chunk)
             flows_f.append(ff)
             flows_b.append(fb)
         return (
@@ -142,8 +140,8 @@ class Pipeline:
         dt = self.cdtype
 
         def build():
-            def f(ff, fb, mk):
-                pf, pb = fc.forward_bidirect_flow(self.flow_params, ff, fb, mk)
+            def f(prm, ff, fb, mk):
+                pf, pb = fc.forward_bidirect_flow(prm, ff, fb, mk)
                 return fc.combine_flow(ff, fb, pf, pb, mk)
 
             return f
@@ -151,7 +149,9 @@ class Pipeline:
         def run(ff, fb, mk):
             fn = self.jits.get("flow_complete", ff.shape[1:], build)
             with stage_timer("complete_flow"):
-                of, ob = fn(ff.astype(dt), fb.astype(dt), mk.astype(dt))
+                of, ob = fn(
+                    self.flow_params, ff.astype(dt), fb.astype(dt), mk.astype(dt)
+                )
             return of, ob
 
         if flow_length <= sub:
@@ -203,7 +203,7 @@ class Pipeline:
         def run(fr, mk, ff, fb):
             fn = self.jits.get("img_prop", fr.shape[1:], build)
             with stage_timer("image_propagation"):
-                return fn(fr, mk, ff, fb)
+                return fn(fr, mk, ff, fb)  # no model params (pure warp algebra)
 
         if t <= sub:
             return run(frames, masks_dilated, flows_f, flows_b)
@@ -260,10 +260,10 @@ class Pipeline:
         visited = np.zeros(t, dtype=bool)
 
         def build():
-            def f(sel_frames, sel_masks, sel_upd_masks, ff, fb, old_slice, orig_slice, blend):
+            def f(prm, sel_frames, sel_masks, sel_upd_masks, ff, fb, old_slice, orig_slice, blend):
                 l_t = blend.shape[0]
                 pred = pp.inpaint_generator_forward(
-                    self.inpaint_params,
+                    prm,
                     sel_frames,
                     ff,
                     fb,
@@ -315,7 +315,15 @@ class Pipeline:
             )
             with stage_timer("feature_propagation"):
                 blended = fn(
-                    sel_frames, sel_masks, sel_upd, ff, fb, old_slice, orig_slice, blend
+                    self.inpaint_params,
+                    sel_frames,
+                    sel_masks,
+                    sel_upd,
+                    ff,
+                    fb,
+                    old_slice,
+                    orig_slice,
+                    blend,
                 )
             composed = jax.lax.dynamic_update_slice_in_dim(
                 composed, blended, n0, axis=0

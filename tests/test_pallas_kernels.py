@@ -1,0 +1,38 @@
+"""Pallas kernels vs their XLA twins (interpret mode on CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+from comfyui_propainter_nodes_tpu.ops.deform_conv import deform_conv2d_xla as deform_conv2d
+from comfyui_propainter_nodes_tpu.ops.pallas.deform_conv import deform_conv2d_pallas
+
+
+def test_pallas_deform_conv_matches_xla():
+    rng = np.random.default_rng(0)
+    n, h, w = 2, 10, 12
+    cin, cout, g = 16, 8, 4
+    x = jnp.asarray(rng.standard_normal((n, h, w, cin)).astype(np.float32))
+    off = jnp.asarray((rng.standard_normal((n, h, w, g, 9, 2)) * 2).astype(np.float32))
+    mask = jnp.asarray(rng.uniform(0, 1, (n, h, w, g, 9)).astype(np.float32))
+    wgt = jnp.asarray(rng.standard_normal((3, 3, cin, cout)).astype(np.float32))
+    bias = jnp.asarray(rng.standard_normal((cout,)).astype(np.float32))
+
+    ref = deform_conv2d(x, off, mask, wgt, bias)
+    with pltpu.force_tpu_interpret_mode():
+        out = deform_conv2d_pallas(x, off, mask, wgt, bias, tile=64)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-4)
+
+
+def test_pallas_deform_conv_oob_zero_padding():
+    """Offsets pushing every tap out of bounds must give bias-only output."""
+    n, h, w, cin, cout, g = 1, 6, 8, 8, 4, 2
+    x = jnp.ones((n, h, w, cin))
+    off = jnp.full((n, h, w, g, 9, 2), 100.0)
+    mask = jnp.ones((n, h, w, g, 9))
+    wgt = jnp.ones((3, 3, cin, cout))
+    bias = jnp.full((cout,), 7.0)
+    with pltpu.force_tpu_interpret_mode():
+        out = deform_conv2d_pallas(x, off, mask, wgt, bias, tile=64)
+    np.testing.assert_allclose(np.asarray(out), 7.0, atol=1e-6)
