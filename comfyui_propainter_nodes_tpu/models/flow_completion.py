@@ -99,11 +99,15 @@ def _propagate_direction(
     module: str,
     x_seq: jnp.ndarray,
     extra_seq: jnp.ndarray | None,
+    first_index=0,
 ) -> jnp.ndarray:
     """One direction of BidirectionalPropagation (reference :85-132).
 
     x_seq: [T, N, H, W, C] in propagation order; extra_seq: features from
     the already-completed direction (forward pass only), same shape.
+    first_index: scan step (traced ok) where propagation restarts — used
+    when end-padded sequences put padding at the scan front (backward
+    pass); results for real frames stay bit-exact.
     Returns [T, N, H, W, C] in the same order.
     """
     t, n, h, w, c = x_seq.shape
@@ -117,7 +121,6 @@ def _propagate_direction(
 
     zeros = jnp.zeros((n, h, w, c), x_seq.dtype)
 
-    # step 0: deform-align skipped; feat_prop starts at zeros.
     def fuse_inputs(feat_current, extra, feat_prop):
         parts = [feat_current]
         if extra is not None:
@@ -125,32 +128,40 @@ def _propagate_direction(
         parts.append(feat_prop)
         return jnp.concatenate(parts, axis=-1)
 
-    extra0 = extra_seq[0] if extra_seq is not None else None
-    out0 = zeros + backbone(fuse_inputs(x_seq[0], extra0, zeros))
+    first_flags = jnp.arange(t) == first_index
 
     def step(carry, inputs):
         prev1, prev2 = carry
         if extra_seq is not None:
-            feat_current, extra = inputs
+            feat_current, extra, first = inputs
         else:
-            feat_current, extra = inputs, None
+            (feat_current, first), extra = inputs, None
         cond = jnp.concatenate([prev1, feat_current, prev2], axis=-1)
         feat_prop = _second_order_align(
             p, da, jnp.concatenate([prev1, prev2], axis=-1), cond
         )
-        feat_prop = feat_prop + backbone(fuse_inputs(feat_current, extra, feat_prop))
-        return (feat_prop, prev1), feat_prop
+        # the reference skips alignment entirely on the first frame
+        # (recurrent_flow_completion.py:96-114: feat_prop starts at zeros)
+        feat_prop = jnp.where(first, zeros, feat_prop)
+        out = feat_prop + backbone(fuse_inputs(feat_current, extra, feat_prop))
+        new_prev2 = jnp.where(first, zeros, prev1)
+        return (out, new_prev2), out
 
-    xs = (x_seq[1:], extra_seq[1:]) if extra_seq is not None else x_seq[1:]
-    _, rest = jax.lax.scan(step, (out0, zeros), xs)
-    return jnp.concatenate([out0[None], rest], axis=0)
+    xs = (
+        (x_seq, extra_seq, first_flags)
+        if extra_seq is not None
+        else (x_seq, first_flags)
+    )
+    _, outs = jax.lax.scan(step, (zeros, zeros), xs)
+    return outs
 
 
-def _bidirectional_propagation(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+def _bidirectional_propagation(p: Params, x: jnp.ndarray, t_valid=None) -> jnp.ndarray:
     """reference :77-143. x: [N, T, H, W, C] -> [N, T, H, W, C]."""
     x_t = jnp.moveaxis(x, 1, 0)  # [T, N, H, W, C]
+    bwd_first = 0 if t_valid is None else x.shape[1] - t_valid
 
-    bwd = _propagate_direction(p, "backward_", x_t[::-1], None)[::-1]
+    bwd = _propagate_direction(p, "backward_", x_t[::-1], None, bwd_first)[::-1]
     fwd = _propagate_direction(p, "forward_", x_t, bwd)
 
     fused = jnp.concatenate([bwd, fwd], axis=-1)

@@ -113,16 +113,36 @@ def _deformable_alignment(
 # --------------------------------------------- bidirectional propagation
 
 
-def _prop_direction_image(x_seq, mask_seq, flows_prop, flows_check, interpolation):
+def _first_flags(t: int, first_index) -> jnp.ndarray:
+    """[T] bool, True at the scan step where propagation (re)starts.
+
+    Supports a traced `first_index` so padded sequences (padding at the
+    scan FRONT, i.e. time-reversed end padding) restart propagation at the
+    first real frame — making results for real frames bit-exact regardless
+    of padding, with one compiled program for any valid length.
+    """
+    return jnp.arange(t) == first_index
+
+
+def _align_flows(flows: jnp.ndarray) -> jnp.ndarray:
+    """[T-1, ...] -> [T, ...]: step i consumes flows[i-1]; step 0's slot is
+    a dummy (its result is overridden by the is_first reset)."""
+    return jnp.concatenate([jnp.zeros_like(flows[:1]), flows], axis=0)
+
+
+def _prop_direction_image(
+    x_seq, mask_seq, flows_prop, flows_check, interpolation, first_index=0
+):
     """Non-learnable direction (model/propainter.py:149-196): warp-fill.
 
     x_seq/mask_seq: [T, N, H, W, C]; flows_*: [T-1, N, H, W, 2] aligned so
     step i in scan order uses flows[i-1]. Returns (feats, masks) [T, ...].
     """
+    t = x_seq.shape[0]
 
     def step(carry, inputs):
         feat_prop, mask_prop = carry
-        feat_current, mask_current, flow_prop, flow_check = inputs
+        feat_current, mask_current, flow_prop, flow_check, first = inputs
         valid = fb_consistency_check(flow_prop, flow_check)
         feat_warped = flow_warp(feat_prop, flow_prop, interpolation)
         mask_prop_valid = flow_warp(mask_prop, flow_prop)  # bilinear
@@ -130,24 +150,35 @@ def _prop_direction_image(x_seq, mask_seq, flows_prop, flows_check, interpolatio
         union = binarize(mask_current * valid * (1 - mask_prop_valid))
         feat_prop = union * feat_warped + (1 - union) * feat_current
         mask_prop = binarize(mask_current * (1 - valid * (1 - mask_prop_valid)))
+        feat_prop = jnp.where(first, feat_current, feat_prop)
+        mask_prop = jnp.where(first, mask_current, mask_prop)
         return (feat_prop, mask_prop), (feat_prop, mask_prop)
 
-    (f0, m0) = (x_seq[0], mask_seq[0])
+    carry0 = (jnp.zeros_like(x_seq[0]), jnp.zeros_like(mask_seq[0]))
     _, (feats, masks) = jax.lax.scan(
-        step, (f0, m0), (x_seq[1:], mask_seq[1:], flows_prop, flows_check)
+        step,
+        carry0,
+        (
+            x_seq,
+            mask_seq,
+            _align_flows(flows_prop),
+            _align_flows(flows_check),
+            _first_flags(t, first_index),
+        ),
     )
-    feats = jnp.concatenate([f0[None], feats], axis=0)
-    masks = jnp.concatenate([m0[None], masks], axis=0)
     return feats, masks
 
 
-def _prop_direction_feature(p, module, x_seq, mask_seq, flows_prop, flows_check):
+def _prop_direction_feature(
+    p, module, x_seq, mask_seq, flows_prop, flows_check, first_index=0
+):
     """Learnable direction (model/propainter.py:149-205): deform-aligned.
 
     mask_seq here is the 2-channel prop mask (mask_in ++ mask_updated).
     """
     da = f"feat_prop_module.deform_align.{module}"
     bb = f"feat_prop_module.backbone.{module}"
+    t = x_seq.shape[0]
 
     def backbone(p_, feat):
         y = leaky_relu(pconv2d(p_, bb + ".0", feat, padding=(1, 1)), 0.2)
@@ -157,41 +188,58 @@ def _prop_direction_feature(p, module, x_seq, mask_seq, flows_prop, flows_check)
         feat = jnp.concatenate([feat_current, feat_prop, mask_current], axis=-1)
         return feat_prop + backbone(p, feat)
 
-    out0 = refine(x_seq[0], mask_seq[0], x_seq[0])
-
     def step(feat_prop, inputs):
-        feat_current, mask_current, flow_prop, flow_check = inputs
+        feat_current, mask_current, flow_prop, flow_check, first = inputs
         valid = fb_consistency_check(flow_prop, flow_check)
         feat_warped = flow_warp(feat_prop, flow_prop)
         cond = jnp.concatenate(
             [feat_current, feat_warped, flow_prop, valid, mask_current], axis=-1
         )
         feat_prop = _deformable_alignment(p, da, feat_prop, cond, flow_prop)
+        # at the first (real) step the reference uses the current feature
+        # directly (model/propainter.py:153-155)
+        feat_prop = jnp.where(first, feat_current, feat_prop)
         feat_prop = refine(feat_current, mask_current, feat_prop)
         return feat_prop, feat_prop
 
-    _, rest = jax.lax.scan(
-        step, out0, (x_seq[1:], mask_seq[1:], flows_prop, flows_check)
+    _, outs = jax.lax.scan(
+        step,
+        jnp.zeros_like(x_seq[0]),
+        (
+            x_seq,
+            mask_seq,
+            _align_flows(flows_prop),
+            _align_flows(flows_check),
+            _first_flags(t, first_index),
+        ),
     )
-    return jnp.concatenate([out0[None], rest], axis=0)
+    return outs
 
 
-def bidirectional_propagation_image(x, flows_f, flows_b, mask, interpolation="nearest"):
+def bidirectional_propagation_image(
+    x, flows_f, flows_b, mask, interpolation="nearest", t_valid=None
+):
     """learnable=False BidirectionalPropagation (model/propainter.py:118-231).
 
     x: [B, T, H, W, 3]; flows: [B, T-1, H, W, 2]; mask: [B, T, H, W, 1].
     Returns (prop_frames, updated_masks) [B, T, H, W, *] — the reference's
     `outputs` (= forward-pass features) and `masks_f`.
+
+    t_valid (traced scalar or None): number of real leading frames when the
+    sequence is padded at the end; results for real frames are exact.
     """
+    t = x.shape[1]
     xs = jnp.moveaxis(x, 1, 0)
     ms = jnp.moveaxis(mask, 1, 0)
     ff = jnp.moveaxis(flows_f, 1, 0)
     fb = jnp.moveaxis(flows_b, 1, 0)
+    bwd_first = 0 if t_valid is None else t - t_valid
 
     # backward pass: process frames t-1..0; at step for frame idx the prop
-    # flow is flows_forward[idx] (reference :137-141)
+    # flow is flows_forward[idx] (reference :137-141); end-padding lands at
+    # the scan FRONT, so propagation restarts at the first real frame
     feats_b, masks_b = _prop_direction_image(
-        xs[::-1], ms[::-1], ff[::-1], fb[::-1], interpolation
+        xs[::-1], ms[::-1], ff[::-1], fb[::-1], interpolation, bwd_first
     )
     feats_b = feats_b[::-1]
     masks_b = masks_b[::-1]
@@ -203,7 +251,7 @@ def bidirectional_propagation_image(x, flows_f, flows_b, mask, interpolation="ne
     return jnp.moveaxis(feats_f, 0, 1), jnp.moveaxis(masks_f, 0, 1)
 
 
-def bidirectional_propagation_feature(p: Params, x, flows_f, flows_b, mask):
+def bidirectional_propagation_feature(p: Params, x, flows_f, flows_b, mask, t_valid=None):
     """learnable=True BidirectionalPropagation (model/propainter.py:118-231).
 
     x: [B, T, H, W, 128]; mask: [B, T, H, W, 2]. Returns [B, T, H, W, 128].
@@ -213,9 +261,10 @@ def bidirectional_propagation_feature(p: Params, x, flows_f, flows_b, mask):
     ms = jnp.moveaxis(mask, 1, 0)
     ff = jnp.moveaxis(flows_f, 1, 0)
     fb = jnp.moveaxis(flows_b, 1, 0)
+    bwd_first = 0 if t_valid is None else t - t_valid
 
     feats_b = _prop_direction_feature(
-        p, "backward_1", xs[::-1], ms[::-1], ff[::-1], fb[::-1]
+        p, "backward_1", xs[::-1], ms[::-1], ff[::-1], fb[::-1], bwd_first
     )[::-1]
     feats_f = _prop_direction_feature(p, "forward_1", feats_b, ms, fb, ff)
 

@@ -15,11 +15,45 @@ matmul — which is exactly the shape the MXU wants.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
+_USE_PALLAS: bool | None = None
+
+
+def _pallas_enabled() -> bool:
+    """Pallas kernel on TPU by default; PROPAINTER_TPU_PALLAS=0 disables."""
+    global _USE_PALLAS
+    if _USE_PALLAS is None:
+        _USE_PALLAS = (
+            os.environ.get("PROPAINTER_TPU_PALLAS", "1") != "0"
+            and jax.default_backend() == "tpu"
+        )
+    return _USE_PALLAS
+
 
 def deform_conv2d(
+    x: jnp.ndarray,
+    offset: jnp.ndarray,
+    mask: jnp.ndarray,
+    weight: jnp.ndarray,
+    bias: jnp.ndarray | None = None,
+    padding: int = 1,
+) -> jnp.ndarray:
+    """Dispatch: Pallas MXU kernel on TPU, XLA gather elsewhere.
+
+    See deform_conv2d_xla below for shapes/semantics.
+    """
+    if _pallas_enabled():
+        from .pallas.deform_conv import deform_conv2d_pallas
+
+        return deform_conv2d_pallas(x, offset, mask, weight, bias, padding=padding)
+    return deform_conv2d_xla(x, offset, mask, weight, bias, padding)
+
+
+def deform_conv2d_xla(
     x: jnp.ndarray,
     offset: jnp.ndarray,
     mask: jnp.ndarray,

@@ -10,16 +10,17 @@ SEPARABLE ONE-HOT CONTRACTIONS:
 
 where onehot_y[p, h] carries the two bilinear row weights (zero
 elsewhere — out-of-bounds taps vanish automatically, matching "zeros"
-padding). Per (group, tap, pixel-tile) grid step:
+padding). Per (pixel-tile, group, tap) grid step:
 
-    tmp[p, w*cg] = oy[p, h] @ x_g[h, w*cg]        (MXU)
-    s[p, cg]     = sum_w ox[p, w] * tmp[p, w, cg]  (VPU)
-    out[p, :]   += (s * mask) @ W[g, k]            (MXU)
+    tmp[p, wc*cg] = oy[p, h] @ x_g[h, wc*cg]       (MXU, W chunked)
+    s[p, cg]     += sum_w ox[p, wc] * tmp[p, wc, cg] (VPU)
+    out[p, :]    += (s * mask) @ W[g, k]             (MXU)
 
-The whole group image (H x W x Cg) stays in VMEM; `out` is revisited
-across the (g, k) minor grid dims and accumulated in place.
+The group image (H x W x Cg) stays in VMEM; `out` is revisited across
+the (g, k) minor grid dims and accumulated in place. Pixel tiles are
+8x128 = 1024 wide to satisfy Mosaic's (8, 128) block tiling.
 
-Semantics identical to ops.deform_conv2d (stride 1, dilation 1,
+Semantics identical to ops.deform_conv2d_xla (stride 1, dilation 1,
 torchvision layout; reference call sites model/propainter.py:73-82,
 model/recurrent_flow_completion.py:44-53).
 """
@@ -33,8 +34,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+TILE = 1024  # 8 sublanes x 128 lanes of pixels
+W_CHUNK = 128  # width chunking bounds the tmp buffer in VMEM
 
-def _kernel(sy_ref, sx_ref, mask_ref, x_ref, w_ref, out_ref, *, h, w, cg, tile):
+
+def _kernel(sy_ref, sx_ref, mask_ref, x_ref, w_ref, out_ref, *, h, w, cg):
     g = pl.program_id(1)
     k = pl.program_id(2)
 
@@ -42,39 +46,53 @@ def _kernel(sy_ref, sx_ref, mask_ref, x_ref, w_ref, out_ref, *, h, w, cg, tile):
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    sy = sy_ref[0, 0, :]  # [tile]
-    sx = sx_ref[0, 0, :]
-    m = mask_ref[0, 0, :]
+    sy = sy_ref[0, 0, 0]  # [TILE, 1]
+    sx = sx_ref[0, 0, 0]
+    m = mask_ref[0, 0, 0]
 
     y0 = jnp.floor(sy)
     x0 = jnp.floor(sx)
-    wy1 = (sy - y0)[:, None]
-    wx1 = (sx - x0)[:, None]
+    wy1 = sy - y0  # [TILE, 1] broadcasts over the lane dim
+    wx1 = sx - x0
+    y0i = y0.astype(jnp.int32)
+    x0i = x0.astype(jnp.int32)
 
-    rows = jax.lax.broadcasted_iota(jnp.float32, (tile, h), 1)
-    cols = jax.lax.broadcasted_iota(jnp.float32, (tile, w), 1)
-    # two-hot bilinear row/col weights; indices outside [0, H) simply
-    # never match the iota -> zeros padding for free
-    oy = jnp.where(rows == y0[:, None], 1.0 - wy1, 0.0) + jnp.where(
-        rows == y0[:, None] + 1.0, wy1, 0.0
-    )
-    ox = jnp.where(cols == x0[:, None], 1.0 - wx1, 0.0) + jnp.where(
-        cols == x0[:, None] + 1.0, wx1, 0.0
+    rows = jax.lax.broadcasted_iota(jnp.int32, (TILE, h), 1)
+    # two-hot bilinear row weights; indices outside [0, H) never match the
+    # iota -> zeros padding for free
+    oy = jnp.where(rows == y0i, 1.0 - wy1, 0.0) + jnp.where(
+        rows == y0i + 1, wy1, 0.0
     )
 
-    xg = x_ref[0].reshape(h, w * cg)
-    tmp = jnp.dot(
-        oy.astype(xg.dtype), xg, preferred_element_type=jnp.float32
-    )  # [tile, w*cg]
-    tmp = tmp.reshape(tile, w, cg)
-    s = jnp.sum(tmp * ox[:, :, None], axis=1)  # [tile, cg]
-    s = s * m[:, None]
+    xg = x_ref[0]  # [h, w*cg], w-major: column j = (w_idx * cg + c)
+    s = jnp.zeros((TILE, cg), jnp.float32)
+    for wc in range(0, w, W_CHUNK):
+        wcs = min(W_CHUNK, w - wc)
+        xc = xg[:, wc * cg : (wc + wcs) * cg]  # [h, wcs*cg]
+        tmp = jnp.dot(
+            oy.astype(xc.dtype), xc, preferred_element_type=jnp.float32
+        )  # [TILE, wcs*cg]
+        # expanded column weights: column j belongs to width wc + j // cg
+        cols_e = (
+            jax.lax.broadcasted_iota(jnp.int32, (TILE, wcs * cg), 1) // cg + wc
+        )
+        ox_e = jnp.where(cols_e == x0i, 1.0 - wx1, 0.0) + jnp.where(
+            cols_e == x0i + 1, wx1, 0.0
+        )
+        # per-channel segment sum over the w-major layout as a matmul with
+        # a {0,1} selection matrix (avoids lane reshapes Mosaic rejects)
+        sel = (
+            jax.lax.broadcasted_iota(jnp.int32, (wcs * cg, cg), 0) % cg
+            == jax.lax.broadcasted_iota(jnp.int32, (wcs * cg, cg), 1)
+        ).astype(jnp.float32)
+        s = s + jnp.dot(tmp * ox_e, sel, preferred_element_type=jnp.float32)
 
+    s = s * m
     wk = w_ref[0, 0].astype(jnp.float32)  # [cg, cout]
     out_ref[:] += jnp.dot(s, wk, preferred_element_type=jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("padding", "tile"))
+@functools.partial(jax.jit, static_argnames=("padding",))
 def deform_conv2d_pallas(
     x: jnp.ndarray,
     offset: jnp.ndarray,
@@ -82,9 +100,8 @@ def deform_conv2d_pallas(
     weight: jnp.ndarray,
     bias: jnp.ndarray | None = None,
     padding: int = 1,
-    tile: int = 256,
 ) -> jnp.ndarray:
-    """Drop-in for ops.deform_conv2d (same shapes/layouts).
+    """Drop-in for ops.deform_conv2d_xla (same shapes/layouts).
 
     x:      [N, H, W, Cin]
     offset: [N, H, W, G, K, 2] (dy, dx)
@@ -118,42 +135,50 @@ def deform_conv2d_pallas(
     sx = sx.transpose(0, 3, 4, 1, 2).reshape(n, g, k, hw)
     mk = mask.astype(jnp.float32).transpose(0, 3, 4, 1, 2).reshape(n, g, k, hw)
 
-    hw_pad = -(-hw // tile) * tile
+    n_tiles = -(-hw // TILE)
+    hw_pad = n_tiles * TILE
     if hw_pad != hw:
         padp = ((0, 0), (0, 0), (0, 0), (0, hw_pad - hw))
         sy = jnp.pad(sy, padp, constant_values=-10.0)  # never matches iota
         sx = jnp.pad(sx, padp, constant_values=-10.0)
         mk = jnp.pad(mk, padp)
+    # [TILE, 1] pixel layout: arrives in-kernel pre-shaped for sublane
+    # broadcasting (Mosaic rejects lane-collapsing reshapes)
+    sy = sy.reshape(n, g, k, n_tiles, TILE, 1)
+    sx = sx.reshape(n, g, k, n_tiles, TILE, 1)
+    mk = mk.reshape(n, g, k, n_tiles, TILE, 1)
 
-    # x grouped [N, G, H, W, Cg]; weight [G, K, Cg, Cout]
-    xg = x.reshape(n, h, w, g, cg).transpose(0, 3, 1, 2, 4)
-    wg = (
-        weight.reshape(k, g, cg, cout)
-        .transpose(1, 0, 2, 3)
-        .astype(jnp.float32)
+    # x grouped + w-major flattened [N, G, H, W*Cg]; weight [G, K, Cg, Cout]
+    xg = (
+        x.reshape(n, h, w, g, cg)
+        .transpose(0, 3, 1, 2, 4)
+        .reshape(n, g, h, w * cg)
     )
+    wg = weight.reshape(k, g, cg, cout).transpose(1, 0, 2, 3).astype(jnp.float32)
 
-    n_tiles = hw_pad // tile
     grid = (n_tiles, g, k)
-
-    kern = functools.partial(_kernel, h=h, w=w, cg=cg, tile=tile)
+    kern = functools.partial(_kernel, h=h, w=w, cg=cg)
 
     def run_one(xg1, sy1, sx1, mk1):
         return pl.pallas_call(
             kern,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((1, 1, tile), lambda pt, gi, ki: (gi, ki, pt)),
-                pl.BlockSpec((1, 1, tile), lambda pt, gi, ki: (gi, ki, pt)),
-                pl.BlockSpec((1, 1, tile), lambda pt, gi, ki: (gi, ki, pt)),
                 pl.BlockSpec(
-                    (1, h, w, cg), lambda pt, gi, ki: (gi, 0, 0, 0)
+                    (1, 1, 1, TILE, 1), lambda pt, gi, ki: (gi, ki, pt, 0, 0)
                 ),
+                pl.BlockSpec(
+                    (1, 1, 1, TILE, 1), lambda pt, gi, ki: (gi, ki, pt, 0, 0)
+                ),
+                pl.BlockSpec(
+                    (1, 1, 1, TILE, 1), lambda pt, gi, ki: (gi, ki, pt, 0, 0)
+                ),
+                pl.BlockSpec((1, h, w * cg), lambda pt, gi, ki: (gi, 0, 0)),
                 pl.BlockSpec(
                     (1, 1, cg, cout), lambda pt, gi, ki: (gi, ki, 0, 0)
                 ),
             ],
-            out_specs=pl.BlockSpec((tile, cout), lambda pt, gi, ki: (pt, 0)),
+            out_specs=pl.BlockSpec((TILE, cout), lambda pt, gi, ki: (pt, 0)),
             out_shape=jax.ShapeDtypeStruct((hw_pad, cout), jnp.float32),
             cost_estimate=pl.CostEstimate(
                 flops=2 * hw_pad * g * k * (h * w * cg + cg * cout),

@@ -21,7 +21,7 @@ def test_pallas_deform_conv_matches_xla():
 
     ref = deform_conv2d(x, off, mask, wgt, bias)
     with pltpu.force_tpu_interpret_mode():
-        out = deform_conv2d_pallas(x, off, mask, wgt, bias, tile=64)
+        out = deform_conv2d_pallas(x, off, mask, wgt, bias)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-4)
 
 
@@ -34,5 +34,5 @@ def test_pallas_deform_conv_oob_zero_padding():
     wgt = jnp.ones((3, 3, cin, cout))
     bias = jnp.full((cout,), 7.0)
     with pltpu.force_tpu_interpret_mode():
-        out = deform_conv2d_pallas(x, off, mask, wgt, bias, tile=64)
+        out = deform_conv2d_pallas(x, off, mask, wgt, bias)
     np.testing.assert_allclose(np.asarray(out), 7.0, atol=1e-6)
