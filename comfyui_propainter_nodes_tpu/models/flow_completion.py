@@ -41,13 +41,20 @@ DEFORM_GROUPS = 16
 # ------------------------------------------------------------- P3D blocks
 
 
-def _p3d(p: Params, pre: str, x: jnp.ndarray, stride: int) -> jnp.ndarray:
+def _p3d(p: Params, pre: str, x: jnp.ndarray, stride: int, t_valid=None) -> jnp.ndarray:
     """P3DBlock (reference :162-205): (1,k,k) spatial conv + LeakyReLU,
-    then (3,1,1) dilated-2 temporal conv. x: [N, T, H, W, C]."""
+    then (3,1,1) dilated-2 temporal conv. x: [N, T, H, W, C].
+
+    t_valid: with end-padded T, padded frames are re-zeroed before the
+    TEMPORAL conv — spatial convs with biases make padding nonzero, and
+    zeroing restores the reference's zero temporal padding exactly."""
     y = pconv3d(
         p, pre + ".conv1.0", x, stride=(1, stride, stride), padding=(0, 1, 1)
     )
     y = leaky_relu(y, 0.2)
+    if t_valid is not None:
+        tmask = (jnp.arange(y.shape[1]) < t_valid).astype(y.dtype)
+        y = y * tmask[None, :, None, None, None]
     y = pconv3d(
         p, pre + ".conv2.0", y, padding=(2, 0, 0), dilation=(2, 1, 1)
     )
@@ -174,11 +181,16 @@ def _bidirectional_propagation(p: Params, x: jnp.ndarray, t_valid=None) -> jnp.n
 # ------------------------------------------------------------------ forward
 
 
-def flow_complete_forward(p: Params, masked_flows: jnp.ndarray, masks: jnp.ndarray):
+def flow_complete_forward(
+    p: Params, masked_flows: jnp.ndarray, masks: jnp.ndarray, t_valid=None
+):
     """reference :315-354 forward (inference; no edge head).
 
     masked_flows: [B, T, H, W, 2]; masks: [B, T, H, W, 1].
-    Returns completed flow [B, T, H, W, 2].
+    t_valid: number of real leading frames when T is zero-padded at the
+    end (traced ok). Zero padding matches the temporal convs' own zero
+    padding, and the propagation scans reset at the first real frame, so
+    real outputs are exact. Returns completed flow [B, T, H, W, 2].
     """
     b, t, h, w, _ = masked_flows.shape
     inputs = jnp.concatenate([masked_flows, masks], axis=-1)  # [B,T,H,W,3]
@@ -188,14 +200,14 @@ def flow_complete_forward(p: Params, masked_flows: jnp.ndarray, masks: jnp.ndarr
     x = pconv3d(p, "downsample.0", xp, stride=(1, 2, 2))
     x = leaky_relu(x, 0.2)  # 2x down, 32ch
 
-    e1 = _p3d(p, "encoder1.0", x, 1)
+    e1 = _p3d(p, "encoder1.0", x, 1, t_valid)
     e1 = leaky_relu(e1, 0.2)
-    e1 = _p3d(p, "encoder1.2", e1, 2)
+    e1 = _p3d(p, "encoder1.2", e1, 2, t_valid)
     e1 = leaky_relu(e1, 0.2)  # 4x, 64ch
 
-    e2 = _p3d(p, "encoder2.0", e1, 1)
+    e2 = _p3d(p, "encoder2.0", e1, 1, t_valid)
     e2 = leaky_relu(e2, 0.2)
-    e2 = _p3d(p, "encoder2.2", e2, 2)
+    e2 = _p3d(p, "encoder2.2", e2, 2, t_valid)
     e2 = leaky_relu(e2, 0.2)  # 8x, 128ch
 
     mid = pconv3d(p, "mid_dilation.0", e2, padding=(0, 3, 3), dilation=(1, 3, 3))
@@ -205,7 +217,7 @@ def flow_complete_forward(p: Params, masked_flows: jnp.ndarray, masks: jnp.ndarr
     mid = pconv3d(p, "mid_dilation.4", mid, padding=(0, 1, 1), dilation=(1, 1, 1))
     mid = leaky_relu(mid, 0.2)
 
-    prop = _bidirectional_propagation(p, mid)  # [B, T, H/8, W/8, 128]
+    prop = _bidirectional_propagation(p, mid, t_valid)  # [B, T, H/8, W/8, 128]
 
     bt = b * t
     prop2 = prop.reshape(bt, h // 8, w // 8, CHANNEL)
@@ -232,11 +244,15 @@ def forward_bidirect_flow(
     flows_f: jnp.ndarray,
     flows_b: jnp.ndarray,
     masks: jnp.ndarray,
+    t_valid=None,
 ):
     """reference :356-387: complete both directions. The backward pass runs
     on the time-flipped sequence; we batch both through one forward call.
 
     flows_f/flows_b: [B, T-1, H, W, 2]; masks: [B, T, H, W, 1].
+    t_valid: number of real flows when T-1 is zero-padded at the end; the
+    backward stream flips only the real prefix (padding stays at the end)
+    so one compiled program serves any real length.
     Returns (pred_flows_f, pred_flows_b).
     """
     masks_fwd = masks[:, :-1]
@@ -244,13 +260,21 @@ def forward_bidirect_flow(
     mf = flows_f * (1 - masks_fwd)
     mb = flows_b * (1 - masks_bwd)
 
-    batch_flows = jnp.concatenate([mf, mb[:, ::-1]], axis=0)
-    batch_masks = jnp.concatenate([masks_fwd, masks_bwd[:, ::-1]], axis=0)
-    pred = flow_complete_forward(p, batch_flows, batch_masks)
+    t = flows_f.shape[1]
+    if t_valid is None:
+        flip = lambda a: a[:, ::-1]
+    else:
+        ar = jnp.arange(t)
+        idx = jnp.where(ar < t_valid, t_valid - 1 - ar, ar)
+        flip = lambda a: jnp.take(a, idx, axis=1)
+
+    batch_flows = jnp.concatenate([mf, flip(mb)], axis=0)
+    batch_masks = jnp.concatenate([masks_fwd, flip(masks_bwd)], axis=0)
+    pred = flow_complete_forward(p, batch_flows, batch_masks, t_valid)
 
     b = flows_f.shape[0]
     pred_f = pred[:b]
-    pred_b = pred[b:][:, ::-1]
+    pred_b = flip(pred[b:])
     return pred_f, pred_b
 
 

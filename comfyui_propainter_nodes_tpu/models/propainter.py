@@ -296,6 +296,8 @@ def inpaint_generator_forward(
     masks_in: jnp.ndarray,
     masks_updated: jnp.ndarray,
     num_local_frames: int,
+    l_t_valid=None,
+    ref_valid=None,
 ) -> jnp.ndarray:
     """InpaintGenerator.forward (model/propainter.py:358-453), inference.
 
@@ -303,6 +305,11 @@ def inpaint_generator_forward(
     flows_f/b:     [B, l_t-1, H, W, 2] completed flows
     masks_in:      [B, T, H, W, 1] original dilated masks
     masks_updated: [B, T, H, W, 1] masks after image propagation
+    l_t_valid / ref_valid (traced scalars or None): real counts when the
+    local/reference frame blocks are padded at their ends. Callers must
+    zero the masks of padded slots; padded frames' outputs are garbage
+    but all real-frame outputs are exact (scan resets + attention key
+    masking).
     Returns predicted local frames [B, l_t, H, W, 3] in [-1, 1].
     """
     l_t = num_local_frames
@@ -344,16 +351,26 @@ def inpaint_generator_forward(
         [ds_mask_in_local, ds_mask_updated_local], axis=-1
     )
     local_feat = bidirectional_propagation_feature(
-        p, local_feat, ds_flows_f, ds_flows_b, prop_mask_in
+        p, local_feat, ds_flows_f, ds_flows_b, prop_mask_in, t_valid=l_t_valid
     )
     enc_feat = jnp.concatenate([local_feat, ref_feat], axis=1)
+
+    if l_t_valid is None and ref_valid is None:
+        t_valid_mask = None
+    else:
+        ltv = l_t if l_t_valid is None else l_t_valid
+        rfv = (t - l_t) if ref_valid is None else ref_valid
+        t_valid_mask = jnp.concatenate(
+            [jnp.arange(l_t) < ltv, jnp.arange(t - l_t) < rfv]
+        )
 
     trans_feat = soft_split(p, "ss", enc_feat.reshape(b * t, h, w, CHANNEL))
     fh, fw = trans_feat.shape[1], trans_feat.shape[2]
     trans_feat = trans_feat.reshape(b, t, fh, fw, HIDDEN)
 
     trans_feat = transformer_stack(
-        p, "transformers", trans_feat, (h, w), mask_pool_l
+        p, "transformers", trans_feat, (h, w), mask_pool_l,
+        t_valid_mask=t_valid_mask,
     )
 
     trans_feat = soft_comp(

@@ -85,20 +85,31 @@ def basic_encoder(p: Params, pre: str, x: jnp.ndarray, norm: str) -> jnp.ndarray
 # ---------------------------------------------------------- corr pyramid
 
 
+# Window geometry: taps span [y0-r, y0+r+1] = 2r+2 rows/cols; padding PAD
+# on every side keeps the window slice in-bounds (and reading exact zeros)
+# for every partially-valid centroid, so "zeros" padding needs no masks.
+_WIN = 2 * CORR_RADIUS + 2  # 10
+_PAD = 2 * CORR_RADIUS + 1  # 9
+
+
 def build_corr_pyramid(fmap1: jnp.ndarray, fmap2: jnp.ndarray):
     """All-pairs correlation + 4-level avg-pool pyramid (corr.py:13-27).
 
-    fmap: [N, H, W, C]. Returns list of [N*H*W, Hl, Wl, 1].
+    fmap: [N, H, W, C]. Returns list of zero-padded maps
+    [N*H*W, Hl+2*PAD, Wl+2*PAD] ready for window slicing.
     """
     n, h, w, c = fmap1.shape
     f1 = fmap1.reshape(n, h * w, c)
     f2 = fmap2.reshape(n, h * w, c)
     corr = jnp.einsum("npc,nqc->npq", f1, f2) / jnp.sqrt(jnp.asarray(c, f1.dtype))
     corr = corr.reshape(n * h * w, h, w, 1)
-    pyramid = [corr]
-    for _ in range(CORR_LEVELS - 1):
-        corr = avg_pool2d(corr, (2, 2), (2, 2))
-        pyramid.append(corr)
+    pyramid = []
+    for lvl in range(CORR_LEVELS):
+        pyramid.append(
+            jnp.pad(corr[..., 0], ((0, 0), (_PAD, _PAD), (_PAD, _PAD)))
+        )
+        if lvl < CORR_LEVELS - 1:
+            corr = avg_pool2d(corr, (2, 2), (2, 2))
     return pyramid
 
 
@@ -107,24 +118,47 @@ def lookup_corr(pyramid, coords: jnp.ndarray) -> jnp.ndarray:
 
     coords: [N, H, W, 2] current matches in pixel coords.
     Returns [N, H, W, LEVELS*(2r+1)^2].
+
+    TPU-native formulation: all 81 taps of a pixel share one fractional
+    offset, so fetch each pixel's (2r+2)^2 window with ONE dynamic_slice
+    (vmapped -> an XLA gather moving 400-byte blocks, not single floats —
+    the scalarized per-tap gather was 80%+ of RAFT runtime) and apply the
+    shared bilinear weights with four shifted slices.
     """
     n, h, w, _ = coords.shape
     r = CORR_RADIUS
     win = 2 * r + 1
-    d = jnp.arange(-r, r + 1, dtype=coords.dtype)
-    # NOTE: the reference stacks meshgrid(dy, dx) directly onto (x, y)
-    # coords (corr.py:37-43), so channel (i, j) samples offset
-    # (dx = d_i, dy = d_j) — the transpose of the "natural" order. The
-    # pretrained update-block weights depend on this ordering; match it.
-    da, db = jnp.meshgrid(d, d, indexing="ij")
-    delta = jnp.stack([da, db], axis=-1).reshape(win * win, 2)  # (x, y) last
+    nhw = n * h * w
+    flat = coords.reshape(nhw, 2)
 
     out = []
-    for i, corr in enumerate(pyramid):
-        centroid = coords.reshape(n * h * w, 1, 2) / (2**i)
-        cl = centroid + delta[None]  # [NHW, win*win, 2]
-        sampled = grid_sample(corr, cl)  # [NHW, win*win, 1]
-        out.append(sampled.reshape(n, h, w, win * win))
+    for i, corr_pad in enumerate(pyramid):
+        hp, wp = corr_pad.shape[1] - 2 * _PAD, corr_pad.shape[2] - 2 * _PAD
+        c = flat / (2**i)
+        cx, cy = c[:, 0], c[:, 1]
+        x0 = jnp.floor(cx)
+        y0 = jnp.floor(cy)
+        fx = (cx - x0).astype(corr_pad.dtype)
+        fy = (cy - y0).astype(corr_pad.dtype)
+        # window start in padded coords; clamping only activates for fully
+        # out-of-range centroids, whose window then reads exact zeros
+        sy = jnp.clip(y0.astype(jnp.int32) - r + _PAD, 0, hp + 2 * _PAD - _WIN)
+        sx = jnp.clip(x0.astype(jnp.int32) - r + _PAD, 0, wp + 2 * _PAD - _WIN)
+        windows = jax.vmap(
+            lambda m, a, b: jax.lax.dynamic_slice(m, (a, b), (_WIN, _WIN))
+        )(corr_pad, sy, sx)  # [NHW, 10, 10]
+        vy = windows[:, : win, :] * (1 - fy)[:, None, None] + windows[
+            :, 1:, :
+        ] * fy[:, None, None]  # [NHW, 9, 10]
+        std = vy[:, :, :win] * (1 - fx)[:, None, None] + vy[:, :, 1:] * fx[
+            :, None, None
+        ]  # [NHW, 9(dy), 9(dx)]
+        # NOTE: the reference stacks meshgrid(dy, dx) directly onto (x, y)
+        # coords (corr.py:37-43), so channel (i, j) samples offset
+        # (dx = d_i, dy = d_j) — transpose the natural (dy, dx) grid. The
+        # pretrained update-block weights depend on this ordering.
+        quirk = jnp.swapaxes(std, 1, 2)
+        out.append(quirk.reshape(n, h, w, win * win))
     return jnp.concatenate(out, axis=-1)
 
 
@@ -234,14 +268,17 @@ def raft_bi_forward(
     """Bidirectional flow over a clip (flow_comp_raft.py:39-58).
 
     frames: [B, T, H, W, 3] in [-1, 1]. Returns (flows_fwd, flows_bwd),
-    each [B, T-1, H, W, 2]. Both directions run as ONE batched RAFT call.
+    each [B, T-1, H, W, 2]. The two directions run sequentially through
+    the same compiled program — batching them together doubles the
+    correlation-pyramid footprint (the largest live buffer) for no
+    additional MXU utilization at these batch sizes.
     """
     b, t, h, w, c = frames.shape
     f1 = frames[:, :-1].reshape(b * (t - 1), h, w, c)
     f2 = frames[:, 1:].reshape(b * (t - 1), h, w, c)
-    im1 = jnp.concatenate([f1, f2], axis=0)
-    im2 = jnp.concatenate([f2, f1], axis=0)
-    flows = raft_forward(params, im1, im2, iters=iters)
-    flows_f = flows[: b * (t - 1)].reshape(b, t - 1, h, w, 2)
-    flows_b = flows[b * (t - 1) :].reshape(b, t - 1, h, w, 2)
-    return flows_f, flows_b
+    flows_f = raft_forward(params, f1, f2, iters=iters)
+    flows_b = raft_forward(params, f2, f1, iters=iters)
+    return (
+        flows_f.reshape(b, t - 1, h, w, 2),
+        flows_b.reshape(b, t - 1, h, w, 2),
+    )

@@ -108,6 +108,7 @@ def sparse_window_attention(
     n_head: int = 4,
     window_size: tuple[int, int] = (5, 9),
     pool_size: tuple[int, int] = (4, 4),
+    t_valid_mask: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """SparseWindowAttention.forward (sparse_transformer.py:201-393).
 
@@ -115,6 +116,9 @@ def sparse_window_attention(
     mask: [B, l_t, H, W, 1] local-frame sparsity mask (pre-pad token grid)
     t_ind: static frame subset for the masked branch (temporal dilation),
            or None for all frames.
+    t_valid_mask: [T] bool (traced ok) — keys of padded frames are masked
+           out of the all-frames branch so padded token sequences give
+           bit-exact results for real frames.
     """
     b, t, h, w, c = x.shape
     wh, ww = window_size
@@ -199,6 +203,12 @@ def sparse_window_attention(
     ka = k_sel.reshape(b, n_win, n_head, t_sel * k_per_t, ch)
     va = v_sel.reshape(b, n_win, n_head, t_sel * k_per_t, ch)
     att_a = jnp.einsum("bwhqc,bwhkc->bwhqk", qa, ka) * scale
+    if t_valid_mask is not None:
+        tv = t_valid_mask[ti] if t_ind is not None else t_valid_mask
+        key_bias = jnp.where(
+            jnp.repeat(tv, k_per_t), 0.0, -1e9
+        ).astype(att_a.dtype)
+        att_a = att_a + key_bias
     att_a = jax.nn.softmax(att_a, axis=-1)
     out_a = jnp.einsum("bwhqk,bwhkc->bwhqc", att_a, va)
     out_a = out_a.reshape(b, n_win, n_head, t, wh * ww, ch)
@@ -254,6 +264,7 @@ def transformer_block(
     fold_size: tuple[int, int],
     mask: jnp.ndarray,
     t_ind: np.ndarray | None,
+    t_valid_mask: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """TemporalSparseTransformer (sparse_transformer.py:396-433).
 
@@ -262,7 +273,9 @@ def transformer_block(
     b, t, fh, fw, c = x.shape
     shortcut = x
     xn = layer_norm(p, pre + ".norm1", x)
-    att = sparse_window_attention(p, pre + ".attention", xn, mask, t_ind)
+    att = sparse_window_attention(
+        p, pre + ".attention", xn, mask, t_ind, t_valid_mask=t_valid_mask
+    )
     x = shortcut + att
     y = layer_norm(p, pre + ".norm2", x)
     mlp = fusion_feed_forward(
@@ -279,6 +292,7 @@ def transformer_stack(
     mask: jnp.ndarray,
     depths: int = 8,
     t_dilation: int = 2,
+    t_valid_mask: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """TemporalSparseTransformerBlock (sparse_transformer.py:436-467).
 
@@ -314,7 +328,9 @@ def transformer_stack(
     def body(x, group_params):
         for d in range(t_dilation):
             pd = {k: v[d] for k, v in group_params.items()}
-            x = transformer_block(pd, "blk", x, fold_size, mask, t_inds[d])
+            x = transformer_block(
+                pd, "blk", x, fold_size, mask, t_inds[d], t_valid_mask
+            )
         return x, None
 
     x, _ = jax.lax.scan(body, x, stacked)

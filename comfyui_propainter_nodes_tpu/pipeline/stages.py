@@ -110,16 +110,25 @@ class Pipeline:
             with stage_timer("compute_flow"):
                 return fn(self.raft_params, frames)
 
+        # every chunk padded to clip+1 frames (repeat last) -> ONE compile;
+        # flow pairs are independent, garbage pairs are sliced off
+        chunk_len = clip + 1
+        fn = self.jits.get("raft", (chunk_len,) + frames.shape[2:4], build)
         flows_f, flows_b = [], []
         for c in range(0, t, clip):
             end_f = min(t, c + clip)
             s = c if c == 0 else c - 1
+            n_real = end_f - s
             chunk = frames[:, s:end_f]
-            fn = self.jits.get("raft", (end_f - s,) + frames.shape[2:4], build)
+            if n_real < chunk_len:
+                reps = jnp.repeat(
+                    chunk[:, -1:], chunk_len - n_real, axis=1
+                )
+                chunk = jnp.concatenate([chunk, reps], axis=1)
             with stage_timer("compute_flow"):
                 ff, fb = fn(self.raft_params, chunk)
-            flows_f.append(ff)
-            flows_b.append(fb)
+            flows_f.append(ff[:, : n_real - 1])
+            flows_b.append(fb[:, : n_real - 1])
         return (
             jnp.concatenate(flows_f, axis=1),
             jnp.concatenate(flows_b, axis=1),
@@ -140,24 +149,38 @@ class Pipeline:
         dt = self.cdtype
 
         def build():
-            def f(prm, ff, fb, mk):
-                pf, pb = fc.forward_bidirect_flow(prm, ff, fb, mk)
+            def f(prm, ff, fb, mk, t_valid):
+                pf, pb = fc.forward_bidirect_flow(prm, ff, fb, mk, t_valid)
                 return fc.combine_flow(ff, fb, pf, pb, mk)
 
             return f
 
-        def run(ff, fb, mk):
+        def run(ff, fb, mk, t_real, t_static):
+            # zero-pad flows/masks to the static chunk length; padding
+            # equivalence (scan resets + temporal-conv re-zeroing) makes
+            # real outputs exact -> ONE compile per config
+            n_pad = t_static - t_real
+            if n_pad:
+                padf = ((0, 0), (0, n_pad), (0, 0), (0, 0), (0, 0))
+                ff = jnp.pad(ff, padf)
+                fb = jnp.pad(fb, padf)
+                mk = jnp.pad(mk, padf)
             fn = self.jits.get("flow_complete", ff.shape[1:], build)
             with stage_timer("complete_flow"):
                 of, ob = fn(
-                    self.flow_params, ff.astype(dt), fb.astype(dt), mk.astype(dt)
+                    self.flow_params,
+                    ff.astype(dt),
+                    fb.astype(dt),
+                    mk.astype(dt),
+                    jnp.asarray(t_real),
                 )
-            return of, ob
+            return of[:, :t_real], ob[:, :t_real]
 
         if flow_length <= sub:
-            return run(flows_f, flows_b, flow_masks)
+            return run(flows_f, flows_b, flow_masks, flow_length, flow_length)
 
         pad_len = 5
+        chunk_static = sub + 2 * pad_len
         out_f, out_b = [], []
         for f in range(0, flow_length, sub):
             s_f = max(0, f - pad_len)
@@ -168,6 +191,8 @@ class Pipeline:
                 flows_f[:, s_f:e_f],
                 flows_b[:, s_f:e_f],
                 flow_masks[:, s_f : e_f + 1],
+                e_f - s_f,
+                chunk_static,
             )
             end = e_f - s_f - pad_len_e
             out_f.append(of[:, pad_len_s:end])
@@ -192,23 +217,34 @@ class Pipeline:
         flows_f, flows_b = (f.astype(dt) for f in pred_flows)
 
         def build():
-            def f(fr, mk, ff, fb):
+            def f(fr, mk, ff, fb, t_valid):
                 masked = fr * (1 - mk)
-                prop, upd_mask = pp.img_propagation(masked, ff, fb, mk, "nearest")
+                prop, upd_mask = pp.bidirectional_propagation_image(
+                    masked, ff, fb, mk, "nearest", t_valid=t_valid
+                )
                 updated = fr * (1 - mk) + prop * mk
                 return updated, upd_mask
 
             return f
 
-        def run(fr, mk, ff, fb):
+        def run(fr, mk, ff, fb, t_real, t_static):
+            n_pad = t_static - t_real
+            if n_pad:
+                padf = ((0, 0), (0, n_pad), (0, 0), (0, 0), (0, 0))
+                fr = jnp.pad(fr, padf)
+                mk = jnp.pad(mk, padf)
+                ff = jnp.pad(ff, padf)
+                fb = jnp.pad(fb, padf)
             fn = self.jits.get("img_prop", fr.shape[1:], build)
             with stage_timer("image_propagation"):
-                return fn(fr, mk, ff, fb)  # no model params (pure warp algebra)
+                uf, um = fn(fr, mk, ff, fb, jnp.asarray(t_real))
+            return uf[:, :t_real], um[:, :t_real]
 
         if t <= sub:
-            return run(frames, masks_dilated, flows_f, flows_b)
+            return run(frames, masks_dilated, flows_f, flows_b, t, t)
 
         pad_len = 10
+        chunk_static = sub + 2 * pad_len
         out_frames, out_masks = [], []
         for f in range(0, t, sub):
             s_f = max(0, f - pad_len)
@@ -220,6 +256,8 @@ class Pipeline:
                 masks_dilated[:, s_f:e_f],
                 flows_f[:, s_f : e_f - 1],
                 flows_b[:, s_f : e_f - 1],
+                e_f - s_f,
+                chunk_static,
             )
             end = e_f - s_f - pad_len_e
             out_frames.append(uf[:, pad_len_s:end])
@@ -256,25 +294,47 @@ class Pipeline:
         neighbor_stride = cfg.neighbor_stride
         ref_num = cfg.subvideo_length // cfg.ref_stride if t > cfg.subvideo_length else -1
 
-        composed = original_frames.astype(jnp.float32)  # [T, H, W, 3]
+        # window plan (host-side, mirrors propainter_inference.py:254-261)
+        windows = []
+        for f in range(0, t, neighbor_stride):
+            neighbor_ids = list(
+                range(max(0, f - neighbor_stride), min(t, f + neighbor_stride + 1))
+            )
+            ref_ids = get_ref_index(f, neighbor_ids, t, cfg.ref_stride, ref_num)
+            windows.append((neighbor_ids, ref_ids))
+
+        # static padded geometry: ONE compile per (l_t_max, ref_bucket)
+        l_t_max = 2 * neighbor_stride + 1
+        ref_max = max((len(r) for _, r in windows), default=0)
+        ref_max = max(2, -(-ref_max // 2) * 2)  # bucket to even
+
+        pad_t = ((0, 0), (0, l_t_max), (0, 0), (0, 0), (0, 0))
+        uf_p = jnp.pad(updated_frames, pad_t)
+        um_p = jnp.pad(updated_masks, pad_t)
+        md_p = jnp.pad(masks_dilated, pad_t)
+        ff_p = jnp.pad(flows_f, pad_t)
+        fb_p = jnp.pad(flows_b, pad_t)
+
+        composed = jnp.pad(
+            original_frames.astype(jnp.float32),
+            ((0, l_t_max), (0, 0), (0, 0), (0, 0)),
+        )  # [T + l_t_max, H, W, 3]
+        orig_p = composed
         visited = np.zeros(t, dtype=bool)
 
         def build():
-            def f(prm, sel_frames, sel_masks, sel_upd_masks, ff, fb, old_slice, orig_slice, blend):
-                l_t = blend.shape[0]
+            def f(
+                prm, sel_frames, sel_masks, sel_upd_masks, ff, fb,
+                old_slice, orig_slice, blend, l_t_valid, ref_valid,
+            ):
                 pred = pp.inpaint_generator_forward(
-                    prm,
-                    sel_frames,
-                    ff,
-                    fb,
-                    sel_masks,
-                    sel_upd_masks,
-                    l_t,
+                    prm, sel_frames, ff, fb, sel_masks, sel_upd_masks,
+                    l_t_max, l_t_valid=l_t_valid, ref_valid=ref_valid,
                 )
-                pred = pred[0].astype(jnp.float32)  # [l_t, H, W, 3]
+                pred = pred[0].astype(jnp.float32)  # [l_t_max, H, W, 3]
                 # uint8 compositing (propainter_inference.py:283-307)
                 pred_byte = jnp.floor((pred + 1.0) / 2.0 * 255.0)
-                binary = sel_masks[0, :l_t].astype(jnp.float32)
+                binary = sel_masks[0, :l_t_max].astype(jnp.float32)
                 img = pred_byte * binary + orig_slice * (1.0 - binary)
                 img = jnp.floor(img)  # uint8 cast of the composite
                 blended = jnp.floor(
@@ -285,45 +345,47 @@ class Pipeline:
 
             return f
 
-        for f in range(0, t, neighbor_stride):
-            neighbor_ids = list(
-                range(max(0, f - neighbor_stride), min(t, f + neighbor_stride + 1))
-            )
-            ref_ids = get_ref_index(
-                f, neighbor_ids, t, cfg.ref_stride, ref_num
-            )
-            l_t = len(neighbor_ids)
-            sel = neighbor_ids + ref_ids
-            sel_idx = jnp.asarray(sel)
-            n0 = neighbor_ids[0]
+        fn = self.jits.get(
+            "feature_prop",
+            (l_t_max, ref_max) + updated_frames.shape[2:4],
+            build,
+        )
 
-            sel_frames = updated_frames[:, sel_idx]
-            sel_masks = masks_dilated[:, sel_idx]
-            sel_upd = updated_masks[:, sel_idx]
-            ff = flows_f[:, n0 : n0 + l_t - 1]
-            fb = flows_b[:, n0 : n0 + l_t - 1]
-            old_slice = jax.lax.dynamic_slice_in_dim(composed, n0, l_t, axis=0)
-            orig_slice = jax.lax.dynamic_slice_in_dim(
-                original_frames.astype(jnp.float32), n0, l_t, axis=0
+        for neighbor_ids, ref_ids in windows:
+            l_t = len(neighbor_ids)
+            n_ref = len(ref_ids)
+            n0 = neighbor_ids[0]
+            sel = (
+                neighbor_ids
+                + [0] * (l_t_max - l_t)
+                + ref_ids
+                + [0] * (ref_max - n_ref)
             )
-            # first visit writes; revisits blend 0.5/0.5
+            sel_idx = jnp.asarray(sel)
+            valid = jnp.asarray(
+                [1.0] * l_t + [0.0] * (l_t_max - l_t)
+                + [1.0] * n_ref + [0.0] * (ref_max - n_ref),
+                updated_masks.dtype,
+            )[None, :, None, None, None]
+
+            sel_frames = uf_p[:, sel_idx]
+            sel_masks = md_p[:, sel_idx] * valid  # padded slots masked out
+            sel_upd = um_p[:, sel_idx] * valid
+            ff = jax.lax.dynamic_slice_in_dim(ff_p, n0, l_t_max - 1, axis=1)
+            fb = jax.lax.dynamic_slice_in_dim(fb_p, n0, l_t_max - 1, axis=1)
+            old_slice = jax.lax.dynamic_slice_in_dim(composed, n0, l_t_max, axis=0)
+            orig_slice = jax.lax.dynamic_slice_in_dim(orig_p, n0, l_t_max, axis=0)
+            # first visit writes; revisits blend 0.5/0.5; padded slots keep old
             blend = jnp.asarray(
-                [0.5 if visited[i] else 1.0 for i in neighbor_ids], jnp.float32
-            )
-            fn = self.jits.get(
-                "feature_prop", (l_t, len(ref_ids)) + updated_frames.shape[2:4], build
+                [0.5 if visited[i] else 1.0 for i in neighbor_ids]
+                + [0.0] * (l_t_max - l_t),
+                jnp.float32,
             )
             with stage_timer("feature_propagation"):
                 blended = fn(
-                    self.inpaint_params,
-                    sel_frames,
-                    sel_masks,
-                    sel_upd,
-                    ff,
-                    fb,
-                    old_slice,
-                    orig_slice,
-                    blend,
+                    self.inpaint_params, sel_frames, sel_masks, sel_upd,
+                    ff, fb, old_slice, orig_slice, blend,
+                    jnp.asarray(l_t), jnp.asarray(n_ref),
                 )
             composed = jax.lax.dynamic_update_slice_in_dim(
                 composed, blended, n0, axis=0
@@ -331,6 +393,7 @@ class Pipeline:
             for i in neighbor_ids:
                 visited[i] = True
 
+        composed = composed[:t]
         return composed
 
     # ------------------------------------------------------------ full run

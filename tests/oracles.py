@@ -77,6 +77,20 @@ def torch_deform_conv2d(
     return out
 
 
+def import_reference_module(name: str):
+    """Import a module from the reference repo under a synthetic package
+    root (bypasses reference/__init__.py, which needs ComfyUI)."""
+    install_reference_path()
+    pkg_name = "refpkg"
+    if pkg_name not in sys.modules:
+        pkg = types.ModuleType(pkg_name)
+        pkg.__path__ = [REFERENCE_ROOT]
+        sys.modules[pkg_name] = pkg
+    import importlib
+
+    return importlib.import_module(f"{pkg_name}.{name}")
+
+
 def install_reference_path():
     """Make the reference repo importable as a package `refmodel`."""
     if "torchvision" not in sys.modules:

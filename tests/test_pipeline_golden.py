@@ -1,0 +1,153 @@
+"""Golden end-to-end parity: our Pipeline vs the reference driver.
+
+Runs the REFERENCE process_inpainting + feature_propagation (torch, with
+stubbed torchvision) and our Pipeline on identical inputs and identical
+random weights, comparing the final composed uint8 video. Preprocessing
+is bypassed (both sides get the same prepared tensors) since PIL-bicubic
+vs device-cubic resize differ slightly by design.
+
+raft_iter is kept at 1: with random weights RAFT's update loop is
+chaotic (see test_model_raft.py) and multi-iteration bit-parity is not
+meaningful.
+"""
+
+import numpy as np
+import pytest
+import torch
+import jax.numpy as jnp
+
+from oracles import import_reference_module, install_reference_path, seed_torch_model
+
+install_reference_path()
+
+import argparse  # noqa: E402
+
+from model.modules.RAFT.raft import RAFT  # noqa: E402
+from model.recurrent_flow_completion import RecurrentFlowCompleteNet  # noqa: E402
+from model.propainter import InpaintGenerator  # noqa: E402
+
+ref_inference = import_reference_module("propainter_inference")
+
+from comfyui_propainter_nodes_tpu.config import PipelineConfig
+from comfyui_propainter_nodes_tpu.pipeline.stages import Pipeline
+from comfyui_propainter_nodes_tpu.utils.checkpoint import convert_state_dict
+
+
+class _RaftBiShim(torch.nn.Module):
+    """Minimal RAFT_bi equivalent (flow_comp_raft.py:26-58) for the test:
+    batches frame pairs through RAFT in both directions."""
+
+    def __init__(self, raft):
+        super().__init__()
+        self.raft = raft
+
+    def forward(self, frames, iters):
+        b, t, c, h, w = frames.shape
+        f1 = frames[:, :-1].reshape(-1, c, h, w)
+        f2 = frames[:, 1:].reshape(-1, c, h, w)
+        _, fwd = self.raft(f1, f2, iters=iters, test_mode=True)
+        _, bwd = self.raft(f2, f1, iters=iters, test_mode=True)
+        return (
+            fwd.view(b, t - 1, 2, h, w),
+            bwd.view(b, t - 1, 2, h, w),
+        )
+
+
+class _Models:
+    def __init__(self, raft_model, flow_model, inpaint_model):
+        self.raft_model = raft_model
+        self.flow_model = flow_model
+        self.inpaint_model = inpaint_model
+
+
+@pytest.fixture(scope="module")
+def both_sides():
+    args = argparse.Namespace(
+        small=False, mixed_precision=False, alternate_corr=False, dropout=0
+    )
+    raft = RAFT(args)
+    seed_torch_model(raft, 0)
+    raft.eval()
+    fcm = RecurrentFlowCompleteNet()
+    seed_torch_model(fcm, 0)
+    fcm.eval()
+    ipg = InpaintGenerator(init_weights=False)
+    seed_torch_model(ipg, 0)
+    ipg.eval()
+
+    torch_models = _Models(_RaftBiShim(raft), fcm, ipg)
+    params = [
+        convert_state_dict(m.state_dict()) for m in (raft, fcm, ipg)
+    ]
+    return torch_models, params
+
+
+@pytest.mark.parametrize("subvideo_length", [80, 6])
+def test_pipeline_golden_parity(both_sides, subvideo_length):
+    torch_models, (p_raft, p_fc, p_ip) = both_sides
+    rng = np.random.default_rng(0)
+    t, h, w = 10, 128, 128
+    # smooth-ish synthetic frames + moving square mask
+    base = rng.uniform(0, 1, (1, h, w, 3)).astype(np.float32)
+    frames01 = np.clip(
+        np.repeat(base, t, axis=0)
+        + np.linspace(0, 0.2, t)[:, None, None, None],
+        0,
+        1,
+    )
+    frames01 = np.floor(frames01 * 255) / 255.0
+    masks = np.zeros((t, h, w, 1), np.float32)
+    for i in range(t):
+        masks[i, 40 : 80, 10 + 6 * i : 50 + 6 * i] = 1.0
+    frames_norm = (frames01 * 2 - 1).astype(np.float32)
+    original_uint8 = [(frames01[i] * 255).astype(np.uint8) for i in range(t)]
+
+    cfg_kwargs = dict(
+        ref_stride=4,
+        neighbor_length=4,
+        subvideo_length=subvideo_length,
+        raft_iter=1,
+    )
+
+    # ---- reference
+    ref_cfg = ref_inference.ProPainterConfig(
+        fp16="disable",
+        video_length=t,
+        device=torch.device("cpu"),
+        process_size=(w, h),
+        **cfg_kwargs,
+    )
+    ft = torch.from_numpy(frames_norm).permute(0, 3, 1, 2)[None]
+    mt = torch.from_numpy(masks).permute(0, 3, 1, 2)[None]
+    with torch.no_grad():
+        upd_frames, upd_masks, pred_flows = ref_inference.process_inpainting(
+            torch_models, ft, mt, mt, ref_cfg
+        )
+        ref_composed = ref_inference.feature_propagation(
+            torch_models.inpaint_model,
+            upd_frames,
+            upd_masks,
+            mt,
+            pred_flows,
+            original_uint8,
+            ref_cfg,
+        )
+    ref_video = np.stack(ref_composed)
+
+    # ---- ours
+    cfg = PipelineConfig(fp16="disable", process_size=(w, h), **cfg_kwargs)
+    pipe = Pipeline(p_raft, p_fc, p_ip, cfg)
+    ours = np.asarray(
+        pipe.process(
+            jnp.asarray(frames_norm)[None],
+            jnp.asarray(masks)[None],
+            jnp.asarray(masks)[None],
+            jnp.asarray(frames01 * 255.0),
+        )
+    ).astype(np.uint8)
+
+    assert ours.shape == ref_video.shape
+    diff = np.abs(ours.astype(np.int32) - ref_video.astype(np.int32))
+    # uint8 equality up to rounding jitter on a tiny fraction of pixels
+    frac_gt1 = float((diff > 1).mean())
+    assert frac_gt1 < 0.01, f"{frac_gt1:.4%} of pixels differ by >1 (max {diff.max()})"
