@@ -136,6 +136,36 @@ class Pipeline:
 
     # ------------------------------------------------------------- stage 2
 
+    def complete_flow_chunk(self, ff, fb, mk, t_real, t_static):
+        """One flow-completion chunk, zero-padded to the static length.
+        Padding equivalence (scan resets + temporal-conv re-zeroing) makes
+        real outputs exact -> ONE compile per config."""
+        dt = self.cdtype
+
+        def build():
+            def f(prm, ff, fb, mk, t_valid):
+                pf, pb = fc.forward_bidirect_flow(prm, ff, fb, mk, t_valid)
+                return fc.combine_flow(ff, fb, pf, pb, mk)
+
+            return f
+
+        n_pad = t_static - t_real
+        if n_pad:
+            padf = ((0, 0), (0, n_pad), (0, 0), (0, 0), (0, 0))
+            ff = jnp.pad(ff, padf)
+            fb = jnp.pad(fb, padf)
+            mk = jnp.pad(mk, padf)
+        fn = self.jits.get("flow_complete", ff.shape[1:], build)
+        with stage_timer("complete_flow"):
+            of, ob = fn(
+                self.flow_params,
+                ff.astype(dt),
+                fb.astype(dt),
+                mk.astype(dt),
+                jnp.asarray(t_real),
+            )
+        return of[:, :t_real], ob[:, :t_real]
+
     def complete_flow(self, flows, flow_masks):
         """Flow completion, subvideo chunks with 5-frame halo
         (propainter_inference.py:102-156).
@@ -146,35 +176,7 @@ class Pipeline:
         flows_f, flows_b = flows
         sub = self.config.subvideo_length
         flow_length = flows_f.shape[1]
-        dt = self.cdtype
-
-        def build():
-            def f(prm, ff, fb, mk, t_valid):
-                pf, pb = fc.forward_bidirect_flow(prm, ff, fb, mk, t_valid)
-                return fc.combine_flow(ff, fb, pf, pb, mk)
-
-            return f
-
-        def run(ff, fb, mk, t_real, t_static):
-            # zero-pad flows/masks to the static chunk length; padding
-            # equivalence (scan resets + temporal-conv re-zeroing) makes
-            # real outputs exact -> ONE compile per config
-            n_pad = t_static - t_real
-            if n_pad:
-                padf = ((0, 0), (0, n_pad), (0, 0), (0, 0), (0, 0))
-                ff = jnp.pad(ff, padf)
-                fb = jnp.pad(fb, padf)
-                mk = jnp.pad(mk, padf)
-            fn = self.jits.get("flow_complete", ff.shape[1:], build)
-            with stage_timer("complete_flow"):
-                of, ob = fn(
-                    self.flow_params,
-                    ff.astype(dt),
-                    fb.astype(dt),
-                    mk.astype(dt),
-                    jnp.asarray(t_real),
-                )
-            return of[:, :t_real], ob[:, :t_real]
+        run = self.complete_flow_chunk
 
         if flow_length <= sub:
             return run(flows_f, flows_b, flow_masks, flow_length, flow_length)
@@ -201,6 +203,37 @@ class Pipeline:
 
     # ------------------------------------------------------------- stage 3
 
+    def image_prop_chunk(self, fr, mk, ff, fb, t_real, t_static):
+        """One image-propagation chunk, zero-padded to the static length."""
+        dt = self.cdtype
+        fr = fr.astype(dt)
+        mk = mk.astype(dt)
+        ff = ff.astype(dt)
+        fb = fb.astype(dt)
+
+        def build():
+            def f(fr, mk, ff, fb, t_valid):
+                masked = fr * (1 - mk)
+                prop, upd_mask = pp.bidirectional_propagation_image(
+                    masked, ff, fb, mk, "nearest", t_valid=t_valid
+                )
+                updated = fr * (1 - mk) + prop * mk
+                return updated, upd_mask
+
+            return f
+
+        n_pad = t_static - t_real
+        if n_pad:
+            padf = ((0, 0), (0, n_pad), (0, 0), (0, 0), (0, 0))
+            fr = jnp.pad(fr, padf)
+            mk = jnp.pad(mk, padf)
+            ff = jnp.pad(ff, padf)
+            fb = jnp.pad(fb, padf)
+        fn = self.jits.get("img_prop", fr.shape[1:], build)
+        with stage_timer("image_propagation"):
+            uf, um = fn(fr, mk, ff, fb, jnp.asarray(t_real))
+        return uf[:, :t_real], um[:, :t_real]
+
     def image_propagation(self, frames, masks_dilated, pred_flows):
         """Pixel-domain propagation, <=100-frame chunks with 10-frame halo
         (propainter_inference.py:159-225).
@@ -215,30 +248,7 @@ class Pipeline:
         frames = frames.astype(dt)
         masks_dilated = masks_dilated.astype(dt)
         flows_f, flows_b = (f.astype(dt) for f in pred_flows)
-
-        def build():
-            def f(fr, mk, ff, fb, t_valid):
-                masked = fr * (1 - mk)
-                prop, upd_mask = pp.bidirectional_propagation_image(
-                    masked, ff, fb, mk, "nearest", t_valid=t_valid
-                )
-                updated = fr * (1 - mk) + prop * mk
-                return updated, upd_mask
-
-            return f
-
-        def run(fr, mk, ff, fb, t_real, t_static):
-            n_pad = t_static - t_real
-            if n_pad:
-                padf = ((0, 0), (0, n_pad), (0, 0), (0, 0), (0, 0))
-                fr = jnp.pad(fr, padf)
-                mk = jnp.pad(mk, padf)
-                ff = jnp.pad(ff, padf)
-                fb = jnp.pad(fb, padf)
-            fn = self.jits.get("img_prop", fr.shape[1:], build)
-            with stage_timer("image_propagation"):
-                uf, um = fn(fr, mk, ff, fb, jnp.asarray(t_real))
-            return uf[:, :t_real], um[:, :t_real]
+        run = self.image_prop_chunk
 
         if t <= sub:
             return run(frames, masks_dilated, flows_f, flows_b, t, t)
@@ -268,6 +278,35 @@ class Pipeline:
         )
 
     # ------------------------------------------------------------- stage 4
+
+    def feature_window_fn(self, l_t_max: int, ref_max: int, hw: tuple):
+        """Jitted one-window transformer + uint8 composite + overlap blend
+        (compiled once per (l_t_max, ref_max, H, W))."""
+
+        def build():
+            def f(
+                prm, sel_frames, sel_masks, sel_upd_masks, ff, fb,
+                old_slice, orig_slice, blend, l_t_valid, ref_valid,
+            ):
+                pred = pp.inpaint_generator_forward(
+                    prm, sel_frames, ff, fb, sel_masks, sel_upd_masks,
+                    l_t_max, l_t_valid=l_t_valid, ref_valid=ref_valid,
+                )
+                pred = pred[0].astype(jnp.float32)  # [l_t_max, H, W, 3]
+                # uint8 compositing (propainter_inference.py:283-307)
+                pred_byte = jnp.floor((pred + 1.0) / 2.0 * 255.0)
+                binary = sel_masks[0, :l_t_max].astype(jnp.float32)
+                img = pred_byte * binary + orig_slice * (1.0 - binary)
+                img = jnp.floor(img)  # uint8 cast of the composite
+                blended = jnp.floor(
+                    blend[:, None, None, None] * img
+                    + (1.0 - blend[:, None, None, None]) * old_slice
+                )
+                return blended
+
+            return f
+
+        return self.jits.get("feature_prop", (l_t_max, ref_max) + tuple(hw), build)
 
     def feature_propagation(
         self,
@@ -322,34 +361,7 @@ class Pipeline:
         orig_p = composed
         visited = np.zeros(t, dtype=bool)
 
-        def build():
-            def f(
-                prm, sel_frames, sel_masks, sel_upd_masks, ff, fb,
-                old_slice, orig_slice, blend, l_t_valid, ref_valid,
-            ):
-                pred = pp.inpaint_generator_forward(
-                    prm, sel_frames, ff, fb, sel_masks, sel_upd_masks,
-                    l_t_max, l_t_valid=l_t_valid, ref_valid=ref_valid,
-                )
-                pred = pred[0].astype(jnp.float32)  # [l_t_max, H, W, 3]
-                # uint8 compositing (propainter_inference.py:283-307)
-                pred_byte = jnp.floor((pred + 1.0) / 2.0 * 255.0)
-                binary = sel_masks[0, :l_t_max].astype(jnp.float32)
-                img = pred_byte * binary + orig_slice * (1.0 - binary)
-                img = jnp.floor(img)  # uint8 cast of the composite
-                blended = jnp.floor(
-                    blend[:, None, None, None] * img
-                    + (1.0 - blend[:, None, None, None]) * old_slice
-                )
-                return blended
-
-            return f
-
-        fn = self.jits.get(
-            "feature_prop",
-            (l_t_max, ref_max) + updated_frames.shape[2:4],
-            build,
-        )
+        fn = self.feature_window_fn(l_t_max, ref_max, updated_frames.shape[2:4])
 
         for neighbor_ids, ref_ids in windows:
             l_t = len(neighbor_ids)

@@ -1,0 +1,291 @@
+"""Exact streaming execution for long videos with a bounded working set.
+
+The reference holds the whole video (and all intermediate stacks) in
+device memory and only chunks compute (propainter_inference.py:61-225);
+at 1080p x 1000 frames that is tens of GB. This driver streams the video
+through the same four stages with a sliding working set of
+O(subvideo_length) frames while producing BIT-IDENTICAL output:
+
+  * RAFT flows are per-pair independent -> computed for exactly the
+    ranges needed (the reference's clip chunking has no numeric effect);
+  * flow-completion / image-propagation chunk boundaries are ABSOLUTE
+    (multiples of subvideo_length with fixed halos,
+    propainter_inference.py:115-144,172-212) — the streaming driver
+    reproduces those exact chunks via Pipeline.complete_flow_chunk /
+    image_prop_chunk and caches per-chunk outputs;
+  * transformer windows slide at neighbor_stride with global refs
+    bounded to +-ref_stride*(ref_num//2) frames (:36-58, :254-261), so a
+    lookahead of one chunk suffices; the 0.5/0.5 revisit blend and
+    composed-frame state roll forward in a small tail buffer.
+
+Frames enter via any `fetch(start, count) -> [count, H, W, C] float01`
+source (e.g. utils.frameio.VideoSource, backed by the native mmap +
+prefetch loader) and leave through a writer callback per finalized
+frame range.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils import image as image_utils
+from .stages import Pipeline, get_ref_index
+
+
+class _ChunkCache:
+    """chunk_index -> value cache with explicit eviction below a floor."""
+
+    def __init__(self, compute: Callable[[int], object]):
+        self._compute = compute
+        self._store: dict[int, object] = {}
+
+    def get(self, k: int):
+        if k not in self._store:
+            self._store[k] = self._compute(k)
+        return self._store[k]
+
+    def evict_below(self, k_min: int):
+        for k in [k for k in self._store if k < k_min]:
+            del self._store[k]
+
+
+def process_streaming(
+    pipe: Pipeline,
+    fetch: Callable[[int, int], np.ndarray],
+    fetch_mask: Callable[[int, int], np.ndarray],
+    num_frames: int,
+    write: Callable[[int, np.ndarray], None],
+    mask_dilates: int = 5,
+    flow_mask_dilates: int = 8,
+    prefetch: Callable[[int, int], None] | None = None,
+) -> None:
+    """Run the full pipeline over `num_frames`, writing finalized composed
+    frames (float 0..255, uint8-exact) through `write(start, frames)`.
+
+    fetch(start, count): frames [count, H, W, 3] float in [0, 1] at the
+    source resolution (out-of-range reads may return anything; they are
+    never requested). fetch_mask likewise [count, H, W].
+    """
+    cfg = pipe.config
+    t = num_frames
+    pw, ph = cfg.process_size
+    sub = cfg.subvideo_length
+    sub_img = min(100, sub)
+    ns = cfg.neighbor_stride
+    ref_num = sub // cfg.ref_stride if t > sub else -1
+
+    # ---------------- per-frame prepared tensors (cached by chunk) ------
+    prep_chunk = 32
+
+    def _prep(k: int):
+        lo = k * prep_chunk
+        n = min(prep_chunk, t - lo)
+        if prefetch is not None:
+            prefetch(lo + n, prep_chunk)
+        frames = jnp.asarray(fetch(lo, n))
+        masks = jnp.asarray(fetch_mask(lo, n))
+        norm, byte = image_utils.prepare_frames(frames, pw, ph)
+        flow_m, dil_m = image_utils.prepare_masks(
+            masks, pw, ph, flow_mask_dilates, mask_dilates
+        )
+        return norm, byte, flow_m, dil_m
+
+    prep = _ChunkCache(_prep)
+
+    def gather(i: int, lo: int, hi: int):
+        """Prepared tensors for absolute frame range [lo, hi) (clamped)."""
+        lo = max(0, lo)
+        hi = min(t, hi)
+        parts = []
+        k0, k1 = lo // prep_chunk, (hi - 1) // prep_chunk
+        for k in range(k0, k1 + 1):
+            a = prep.get(k)[i]
+            s = max(lo - k * prep_chunk, 0)
+            e = min(hi - k * prep_chunk, a.shape[0])
+            parts.append(a[s:e])
+        return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+
+    # ---------------- stage 1+2: completed flows per absolute chunk -----
+    pad_fc = 5
+    flow_len = t - 1
+    single_fc = flow_len <= sub
+
+    def _flows_range(lo: int, hi: int):
+        """Raw RAFT flows for pair indices [lo, hi) (pairs independent)."""
+        frames = gather(0, lo, hi + 1)[None]
+        ff, fb = pipe.compute_flow(frames)
+        return ff, fb
+
+    def _completed(k: int):
+        if single_fc:
+            s_f, e_f = 0, flow_len
+            t_static = flow_len
+        else:
+            f = k * sub
+            s_f = max(0, f - pad_fc)
+            e_f = min(flow_len, f + sub + pad_fc)
+            t_static = sub + 2 * pad_fc
+        ff, fb = _flows_range(s_f, e_f)
+        mk = gather(2, s_f, e_f + 1)[None]
+        of, ob = pipe.complete_flow_chunk(ff, fb, mk, e_f - s_f, t_static)
+        if single_fc:
+            return 0, of, ob
+        keep_lo = k * sub - s_f
+        keep_hi = min(flow_len, (k + 1) * sub) - s_f
+        return k * sub, of[:, keep_lo:keep_hi], ob[:, keep_lo:keep_hi]
+
+    completed = _ChunkCache(_completed)
+
+    def completed_range(lo: int, hi: int):
+        """Completed flows for pair indices [lo, hi)."""
+        parts_f, parts_b = [], []
+        step = flow_len if single_fc else sub
+        for k in range(lo // step, (hi - 1) // step + 1):
+            base, of, ob = completed.get(k)
+            s = max(lo - base, 0)
+            e = min(hi - base, of.shape[1])
+            parts_f.append(of[:, s:e])
+            parts_b.append(ob[:, s:e])
+        if len(parts_f) == 1:
+            return parts_f[0], parts_b[0]
+        return jnp.concatenate(parts_f, 1), jnp.concatenate(parts_b, 1)
+
+    # ---------------- stage 3: updated frames per absolute chunk --------
+    pad_ip = 10
+    single_ip = t <= sub_img
+
+    def _updated(k: int):
+        if single_ip:
+            s_f, e_f, t_static = 0, t, t
+        else:
+            f = k * sub_img
+            s_f = max(0, f - pad_ip)
+            e_f = min(t, f + sub_img + pad_ip)
+            t_static = sub_img + 2 * pad_ip
+        fr = gather(0, s_f, e_f)[None]
+        mk = gather(3, s_f, e_f)[None]
+        ff, fb = completed_range(s_f, e_f - 1)
+        uf, um = pipe.image_prop_chunk(fr, mk, ff, fb, e_f - s_f, t_static)
+        if single_ip:
+            return 0, uf, um
+        keep_lo = k * sub_img - s_f
+        keep_hi = min(t, (k + 1) * sub_img) - s_f
+        return k * sub_img, uf[:, keep_lo:keep_hi], um[:, keep_lo:keep_hi]
+
+    updated = _ChunkCache(_updated)
+
+    def updated_at(idx_list):
+        """Updated frames/masks at arbitrary absolute indices."""
+        ufs, ums = [], []
+        step = t if single_ip else sub_img
+        for i in idx_list:
+            base, uf, um = updated.get(i // step)
+            ufs.append(uf[:, i - base])
+            ums.append(um[:, i - base])
+        return jnp.stack(ufs, axis=1), jnp.stack(ums, axis=1)
+
+    # ---------------- stage 4: sliding windows + rolling composition ----
+    l_t_max = 2 * ns + 1
+    windows = []
+    for f in range(0, t, ns):
+        neighbor_ids = list(range(max(0, f - ns), min(t, f + ns + 1)))
+        ref_ids = get_ref_index(f, neighbor_ids, t, cfg.ref_stride, ref_num)
+        windows.append((neighbor_ids, ref_ids))
+    ref_max = max((len(r) for _, r in windows), default=0)
+    ref_max = max(2, -(-ref_max // 2) * 2)
+    fn = pipe.feature_window_fn(l_t_max, ref_max, (ph, pw))
+
+    visited = np.zeros(t, dtype=bool)
+    # rolling composed tail: absolute frames [tail_base, tail_base+len)
+    tail_base = 0
+    tail = jnp.zeros((0, ph, pw, 3), jnp.float32)
+    ref_span = cfg.ref_stride * (ref_num // 2) if ref_num > 0 else t
+
+    dt = pipe.cdtype
+    for neighbor_ids, ref_ids in windows:
+        l_t = len(neighbor_ids)
+        n_ref = len(ref_ids)
+        n0 = neighbor_ids[0]
+
+        # extend the composed tail to cover this window
+        need_hi = n0 + l_t_max
+        if tail.shape[0] < need_hi - tail_base:
+            lo = tail_base + tail.shape[0]
+            newly = gather(1, lo, min(t, need_hi))
+            if newly.shape[0] < need_hi - lo:  # pad region beyond the video
+                padn = need_hi - lo - newly.shape[0]
+                newly = jnp.concatenate(
+                    [newly, jnp.zeros((padn, ph, pw, 3), newly.dtype)], 0
+                )
+            tail = jnp.concatenate([tail, newly.astype(jnp.float32)], axis=0)
+
+        sel = neighbor_ids + [0] * (l_t_max - l_t) + ref_ids + [0] * (ref_max - n_ref)
+        uf_sel, um_sel = updated_at(sel)
+        md_sel = jnp.stack([gather(3, i, i + 1)[0] for i in sel], 0)[None]
+        valid = jnp.asarray(
+            [1.0] * l_t + [0.0] * (l_t_max - l_t)
+            + [1.0] * n_ref + [0.0] * (ref_max - n_ref),
+            um_sel.dtype,
+        )[None, :, None, None, None]
+        sel_masks = md_sel.astype(dt) * valid
+        sel_upd = um_sel * valid
+
+        ff, fb = completed_range(n0, min(n0 + l_t - 1, flow_len))
+        if ff.shape[1] < l_t_max - 1:
+            padn = l_t_max - 1 - ff.shape[1]
+            padf = ((0, 0), (0, padn), (0, 0), (0, 0), (0, 0))
+            ff = jnp.pad(ff, padf)
+            fb = jnp.pad(fb, padf)
+
+        old_slice = jax.lax.dynamic_slice_in_dim(
+            tail, n0 - tail_base, l_t_max, axis=0
+        )
+        orig = gather(1, n0, min(t, n0 + l_t_max)).astype(jnp.float32)
+        if orig.shape[0] < l_t_max:
+            orig = jnp.concatenate(
+                [orig, jnp.zeros((l_t_max - orig.shape[0], ph, pw, 3))], 0
+            )
+        blend = jnp.asarray(
+            [0.5 if visited[i] else 1.0 for i in neighbor_ids]
+            + [0.0] * (l_t_max - l_t),
+            jnp.float32,
+        )
+        blended = fn(
+            pipe.inpaint_params,
+            uf_sel.astype(dt),
+            sel_masks,
+            sel_upd.astype(dt),
+            ff.astype(dt),
+            fb.astype(dt),
+            old_slice,
+            orig,
+            blend,
+            jnp.asarray(l_t),
+            jnp.asarray(n_ref),
+        )
+        tail = jax.lax.dynamic_update_slice_in_dim(
+            tail, blended, n0 - tail_base, axis=0
+        )
+        for i in neighbor_ids:
+            visited[i] = True
+
+        # frames before the next window's reach are final -> flush
+        final_hi = min(n0, t)
+        if final_hi > tail_base:
+            n_out = final_hi - tail_base
+            write(tail_base, np.asarray(tail[:n_out]))
+            tail = tail[n_out:]
+            tail_base = final_hi
+
+        # evict caches outside the remaining working set
+        lookback = n0 - max(ref_span, pad_ip, ns) - sub_img
+        updated.evict_below(max(0, lookback) // max(1, sub_img if not single_ip else t))
+        completed.evict_below(max(0, lookback) // max(1, sub if not single_fc else flow_len))
+        prep.evict_below(max(0, lookback) // prep_chunk)
+
+    if tail_base < t:
+        write(tail_base, np.asarray(tail[: t - tail_base]))
