@@ -191,7 +191,14 @@ def sparse_window_attention(
 
     scale = 1.0 / math.sqrt(ch)
 
-    # ---- branch A: masked windows attend across (t_ind) frames, all keys
+    # ---- occupancy map (sparse_transformer.py:322-326)
+    l_t = mask.shape[1]
+    occ = max_pool2d(
+        mask.reshape(b * l_t, new_h, new_w, 1), window_size, window_size
+    )
+    occ = occ.reshape(b, l_t, n_win).sum(axis=1) > 0  # [B, nW]
+
+    # ---- branch-A key set: (t_ind) frames, all key kinds
     if t_ind is not None:
         ti = jnp.asarray(np.asarray(t_ind))
         k_sel = k_all[:, :, :, ti]
@@ -199,32 +206,44 @@ def sparse_window_attention(
     else:
         k_sel, v_sel = k_all, v_all
     t_sel, k_per_t = k_sel.shape[3], k_sel.shape[4]
-    qa = win_q.reshape(b, n_win, n_head, t * wh * ww, ch)
-    ka = k_sel.reshape(b, n_win, n_head, t_sel * k_per_t, ch)
-    va = v_sel.reshape(b, n_win, n_head, t_sel * k_per_t, ch)
-    att_a = jnp.einsum("bwhqc,bwhkc->bwhqk", qa, ka) * scale
     if t_valid_mask is not None:
         tv = t_valid_mask[ti] if t_ind is not None else t_valid_mask
-        key_bias = jnp.where(
-            jnp.repeat(tv, k_per_t), 0.0, -1e9
-        ).astype(att_a.dtype)
-        att_a = att_a + key_bias
-    att_a = jax.nn.softmax(att_a, axis=-1)
-    out_a = jnp.einsum("bwhqk,bwhkc->bwhqc", att_a, va)
-    out_a = out_a.reshape(b, n_win, n_head, t, wh * ww, ch)
+        key_bias = jnp.where(jnp.repeat(tv, k_per_t), 0.0, -1e9)
+    else:
+        key_bias = jnp.zeros((t_sel * k_per_t,), jnp.float32)
 
-    # ---- branch B: unmasked windows attend within-window, per frame
-    att_b = jnp.einsum("bwhtqc,bwhtkc->bwhtqk", win_q, win_k) * scale
-    att_b = jax.nn.softmax(att_b, axis=-1)
-    out_b = jnp.einsum("bwhtqk,bwhtkc->bwhtqc", att_b, win_v)
+    from .deform_conv import _pallas_enabled
 
-    # ---- occupancy select (sparse_transformer.py:322-326)
-    l_t = mask.shape[1]
-    occ = max_pool2d(
-        mask.reshape(b * l_t, new_h, new_w, 1), window_size, window_size
-    )
-    occ = occ.reshape(b, l_t, n_win).sum(axis=1) > 0  # [B, nW]
-    out = jnp.where(occ[:, :, None, None, None, None], out_a, out_b)
+    if _pallas_enabled():
+        # fused occupancy-sparse kernel: clean windows skip the big branch
+        from .pallas.window_attention import window_attention_pallas
+
+        out = window_attention_pallas(
+            win_q.reshape(b * n_win, n_head, t, wh * ww, ch),
+            k_sel.reshape(b * n_win, n_head, t_sel * k_per_t, ch),
+            v_sel.reshape(b * n_win, n_head, t_sel * k_per_t, ch),
+            win_k.reshape(b * n_win, n_head, t, wh * ww, ch),
+            win_v.reshape(b * n_win, n_head, t, wh * ww, ch),
+            occ.reshape(b * n_win),
+            key_bias,
+        )
+        out = out.reshape(b, n_win, n_head, t, wh * ww, ch).astype(x.dtype)
+    else:
+        # XLA fallback: both branches batched, select by occupancy
+        qa = win_q.reshape(b, n_win, n_head, t * wh * ww, ch)
+        ka = k_sel.reshape(b, n_win, n_head, t_sel * k_per_t, ch)
+        va = v_sel.reshape(b, n_win, n_head, t_sel * k_per_t, ch)
+        att_a = jnp.einsum("bwhqc,bwhkc->bwhqk", qa, ka) * scale
+        att_a = att_a + key_bias.astype(att_a.dtype)
+        att_a = jax.nn.softmax(att_a, axis=-1)
+        out_a = jnp.einsum("bwhqk,bwhkc->bwhqc", att_a, va)
+        out_a = out_a.reshape(b, n_win, n_head, t, wh * ww, ch)
+
+        att_b = jnp.einsum("bwhtqc,bwhtkc->bwhtqk", win_q, win_k) * scale
+        att_b = jax.nn.softmax(att_b, axis=-1)
+        out_b = jnp.einsum("bwhtqk,bwhtkc->bwhtqc", att_b, win_v)
+
+        out = jnp.where(occ[:, :, None, None, None, None], out_a, out_b)
 
     # re-assemble [B,nW,hd,T,45,ch] -> [B,T,new_h,new_w,C]
     out = out.reshape(b, n_wh, n_ww, n_head, t, wh, ww, ch)
