@@ -20,6 +20,7 @@ from .config import ImageConfig, OutpaintConfig, PipelineConfig
 from .pipeline.stages import Pipeline
 from .utils import image as image_utils
 from .utils import weights as weights_zoo
+from .utils.metrics import RunRecorder
 
 _PIPELINE_CACHE: dict = {}
 
@@ -147,11 +148,11 @@ class ProPainterInpaint:
         )
 
         pipe = get_pipeline(config, _allow_random_weights)
-        composed = pipe.process(
-            frames_norm[None], flow_masks[None], masks_dilated[None], original
-        )
-
-        out_images = np.asarray(composed, dtype=np.float32) / 255.0
+        with RunRecorder("inpaint", config, frames.shape[0]):
+            composed = pipe.process(
+                frames_norm[None], flow_masks[None], masks_dilated[None], original
+            )
+            out_images = np.asarray(composed, dtype=np.float32) / 255.0
         out_flow_masks = np.asarray(flow_masks, dtype=np.float32).squeeze()
         out_masks_dilated = np.asarray(masks_dilated, dtype=np.float32).squeeze()
         return (
@@ -234,11 +235,11 @@ class ProPainterOutpaint:
         frames_norm = canvas * 2.0 - 1.0
 
         pipe = get_pipeline(config, _allow_random_weights)
-        composed = pipe.process(
-            frames_norm[None], flow_masks[None], masks_dilated[None], original
-        )
-
-        out_images = np.asarray(composed, dtype=np.float32) / 255.0
+        with RunRecorder("outpaint", config, frames.shape[0]):
+            composed = pipe.process(
+                frames_norm[None], flow_masks[None], masks_dilated[None], original
+            )
+            out_images = np.asarray(composed, dtype=np.float32) / 255.0
         out_masks = np.asarray(masks_dilated, dtype=np.float32).squeeze()
         return (_to_output(out_images), _to_output(out_masks), cw, chh)
 

@@ -1,0 +1,80 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from comfyui_propainter_nodes_tpu.parallel.mesh import make_mesh
+from comfyui_propainter_nodes_tpu.parallel.sharding import param_spec, shard_params
+from comfyui_propainter_nodes_tpu.training.train_step import init_state, make_train_step
+from comfyui_propainter_nodes_tpu.utils.weights import random_params
+
+
+def _tiny_batch(b, l_t, n_ref, h, w, seed=0):
+    rng = np.random.default_rng(seed)
+    t = l_t + n_ref
+    return {
+        "frames": jnp.asarray(rng.uniform(-1, 1, (b, t, h, w, 3)).astype(np.float32)),
+        "masks": jnp.asarray(
+            (rng.uniform(size=(b, t, h, w, 1)) > 0.8).astype(np.float32)
+        ),
+        "flows_f": jnp.zeros((b, l_t - 1, h, w, 2), jnp.float32),
+        "flows_b": jnp.zeros((b, l_t - 1, h, w, 2), jnp.float32),
+    }
+
+
+def test_param_spec_rules():
+    from jax.sharding import PartitionSpec as P
+
+    assert param_spec("transformers.transformer.0.attention.query.weight") == P(
+        None, "model"
+    )
+    assert param_spec("transformers.transformer.3.attention.proj.weight") == P(
+        "model", None
+    )
+    assert param_spec("transformers.transformer.1.mlp.fc1.0.weight") == P(None, "model")
+    assert param_spec("transformers.transformer.1.mlp.fc2.1.weight") == P("model", None)
+    assert param_spec("encoder.layers.0.weight") == P()
+
+
+def test_sharded_step_matches_single_device():
+    """dp x tp sharded training step == single-device step (SURVEY §4)."""
+    assert len(jax.devices()) >= 8
+    params = random_params("inpaint_generator")
+    b, l_t, n_ref, h, w = 2, 2, 1, 32, 40
+    batch = _tiny_batch(b, l_t, n_ref, h, w)
+
+    mesh8 = make_mesh(8)  # (2, 4): dp=2, tp=4
+    state8 = init_state(params, mesh8)
+    step8 = make_train_step(mesh8, num_local_frames=l_t)
+    state8, loss8 = step8(state8, batch)
+
+    mesh1 = make_mesh(1)
+    state1 = init_state(params, mesh1)
+    step1 = make_train_step(mesh1, num_local_frames=l_t)
+    state1, loss1 = step1(state1, batch)
+
+    np.testing.assert_allclose(float(loss8), float(loss1), rtol=2e-5)
+    # spot-check an updated sharded parameter matches the replicated run
+    key = "transformers.transformer.0.attention.query.weight"
+    np.testing.assert_allclose(
+        np.asarray(state8.params[key]), np.asarray(state1.params[key]),
+        atol=1e-5, rtol=1e-4,
+    )
+
+
+def test_shard_params_placement():
+    mesh = make_mesh(8)
+    params = {
+        "transformers.transformer.0.attention.query.weight": np.zeros(
+            (512, 512), np.float32
+        ),
+        "encoder.layers.0.weight": np.zeros((3, 3, 5, 64), np.float32),
+    }
+    sharded = shard_params(params, mesh)
+    q = sharded["transformers.transformer.0.attention.query.weight"]
+    # column-parallel: each model shard holds 512/4 columns
+    shard_shapes = {s.data.shape for s in q.addressable_shards}
+    assert shard_shapes == {(512, 128)}
+    e = sharded["encoder.layers.0.weight"]
+    assert {s.data.shape for s in e.addressable_shards} == {(3, 3, 5, 64)}
