@@ -70,7 +70,47 @@ def pconv2d(p: Params, name: str, x: jnp.ndarray, **kw) -> jnp.ndarray:
 
 
 def pconv3d(p: Params, name: str, x: jnp.ndarray, **kw) -> jnp.ndarray:
-    return conv3d(x, p[name + ".weight"], p.get(name + ".bias"), **kw)
+    """conv3d with TPU-friendly decomposition for the two shapes the
+    models actually use: (1, k, k) spatial kernels run as batched 2D
+    convs (T folded into batch), (kt, 1, 1) temporal kernels run as a
+    sum of time-shifted 1x1 matmuls — XLA's generic 3D conv path tiles
+    poorly on the MXU."""
+    w = p[name + ".weight"]
+    b = p.get(name + ".bias")
+    kt, kh, kw_, cin, cout = w.shape
+    stride = kw.get("stride", (1, 1, 1))
+    padding = kw.get("padding", (0, 0, 0))
+    dilation = kw.get("dilation", (1, 1, 1))
+    if kt == 1 and stride[0] == 1 and padding[0] == 0:
+        n, t, h, ww, c = x.shape
+        y = conv2d(
+            x.reshape(n * t, h, ww, c),
+            w[0],
+            b,
+            stride=stride[1:],
+            padding=padding[1:],
+            dilation=dilation[1:],
+        )
+        return y.reshape(n, t, y.shape[1], y.shape[2], cout)
+    if kh == 1 and kw_ == 1 and stride == (1, 1, 1) and padding[1:] == (0, 0):
+        dt_ = dilation[0]
+        n, t, h, ww, c = x.shape
+        out = None
+        for j in range(kt):
+            shift = j * dt_ - padding[0]
+            wj = w[j, 0, 0].astype(x.dtype)  # [cin, cout]
+            if shift < 0:
+                seg = jnp.pad(x[:, : t + shift], ((0, 0), (-shift, 0)) + ((0, 0),) * 3)
+            elif shift > 0:
+                seg = jnp.pad(x[:, shift:], ((0, 0), (0, shift)) + ((0, 0),) * 3)
+            else:
+                seg = x
+            term = jnp.matmul(seg, wj)
+            out = term if out is None else out + term
+        if b is not None:
+            out = out + b.astype(x.dtype)
+        return out
+    return conv3d(x, w, b, **kw)
 
 
 def linear(p: Params, name: str, x: jnp.ndarray) -> jnp.ndarray:
