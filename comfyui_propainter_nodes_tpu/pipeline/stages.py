@@ -106,14 +106,18 @@ class Pipeline:
             return lambda prm, fr: raft.raft_bi_forward(prm, fr, iters=cfg.raft_iter)
 
         if t <= clip:
-            fn = self.jits.get("raft", (t,) + frames.shape[2:4], build)
+            fn = self.jits.get(
+                "raft", (cfg.raft_iter, t) + frames.shape[2:4], build
+            )
             with stage_timer("compute_flow"):
                 return fn(self.raft_params, frames)
 
         # every chunk padded to clip+1 frames (repeat last) -> ONE compile;
         # flow pairs are independent, garbage pairs are sliced off
         chunk_len = clip + 1
-        fn = self.jits.get("raft", (chunk_len,) + frames.shape[2:4], build)
+        fn = self.jits.get(
+            "raft", (cfg.raft_iter, chunk_len) + frames.shape[2:4], build
+        )
         flows_f, flows_b = [], []
         for c in range(0, t, clip):
             end_f = min(t, c + clip)
