@@ -54,14 +54,26 @@ def main() -> None:
     w = int(os.environ.get("BENCH_WIDTH", "640"))
     h = int(os.environ.get("BENCH_HEIGHT", "360"))
     fp16 = os.environ.get("BENCH_FP16", "enable")
+    raft_bf16 = os.environ.get("BENCH_RAFT_BF16", "0") == "1"
 
-    log(f"bench: {t} frames @ {w}x{h} fp16={fp16} on {jax.devices()[0]}")
+    log(
+        f"bench: {t} frames @ {w}x{h} fp16={fp16} raft_bf16={raft_bf16} "
+        f"on {jax.devices()[0]}"
+    )
     frames, masks = synthetic_clip(t, h, w)
 
     from comfyui_propainter_nodes_tpu.nodes import ProPainterInpaint
     from comfyui_propainter_nodes_tpu.utils import profiling
 
     node = ProPainterInpaint()
+    if raft_bf16:
+        from comfyui_propainter_nodes_tpu import nodes as _nodes
+        from comfyui_propainter_nodes_tpu.config import PipelineConfig
+
+        _orig = _nodes.get_pipeline
+        _nodes.get_pipeline = lambda cfg, rnd=False: _orig(
+            cfg.replace(raft_bf16=True), rnd
+        )
 
     def run():
         return node.propainter_inpainting(

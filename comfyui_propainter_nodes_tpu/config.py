@@ -57,6 +57,10 @@ class PipelineConfig:
     raft_iter: int = 20
     fp16: str = "enable"  # -> bfloat16 on TPU
     process_size: tuple[int, int] = (640, 360)  # (W, H)
+    # The reference pins RAFT to fp32 even under fp16
+    # (utils/model_utils.py:55-58); opt in to bf16 RAFT compute (2x MXU
+    # throughput on the update loop; flow state stays fp32).
+    raft_bf16: bool = False
 
     @property
     def use_bf16(self) -> bool:

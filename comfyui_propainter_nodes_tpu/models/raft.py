@@ -226,13 +226,20 @@ def convex_upsample(flow: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
 def raft_forward(
     params: Params, image1: jnp.ndarray, image2: jnp.ndarray, iters: int = 20
 ) -> jnp.ndarray:
-    """Flow from image1 to image2. Images [N, H, W, 3] in [-1, 1], fp32.
+    """Flow from image1 to image2. Images [N, H, W, 3] in [-1, 1].
 
     Mirrors raft.py:94-152 in test mode; returns the convex-upsampled flow
-    [N, H, W, 2] (pixel units, (dx, dy) last axis).
+    [N, H, W, 2] fp32 (pixel units, (dx, dy) last axis).
+
+    Compute dtype follows the params (reference keeps RAFT fp32 even
+    under fp16 — utils/model_utils.py:55-58 — and so does the default
+    config; PipelineConfig.raft_bf16 casts params to bf16 for ~2x MXU
+    throughput on the conv-heavy update loop). Flow state (coords), the
+    correlation pyramid, and convex upsampling stay fp32 either way.
     """
-    image1 = image1.astype(jnp.float32)
-    image2 = image2.astype(jnp.float32)
+    cdt = params["fnet.conv1.weight"].dtype
+    image1 = image1.astype(cdt)
+    image2 = image2.astype(cdt)
     n, h, w, _ = image1.shape
 
     both = jnp.concatenate([image1, image2], axis=0)
@@ -253,13 +260,15 @@ def raft_forward(
         net, coords1, _ = carry
         corr = lookup_corr(pyramid, coords1)
         flow = coords1 - coords0
-        net, up_mask, delta = _update_block(params, net, inp, corr, flow)
-        return (net, coords1 + delta, up_mask), None
+        net, up_mask, delta = _update_block(
+            params, net, inp, corr.astype(cdt), flow.astype(cdt)
+        )
+        return (net, coords1 + delta.astype(jnp.float32), up_mask), None
 
     (net, coords1, up_mask), _ = jax.lax.scan(
-        step, (net, coords1, up_mask0), None, length=iters
+        step, (net, coords1, up_mask0.astype(cdt)), None, length=iters
     )
-    return convex_upsample(coords1 - coords0, up_mask)
+    return convex_upsample(coords1 - coords0, up_mask.astype(jnp.float32))
 
 
 def raft_bi_forward(

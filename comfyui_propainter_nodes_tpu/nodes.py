@@ -64,7 +64,7 @@ def check_inputs(frames: np.ndarray, masks: np.ndarray) -> None:
 def get_pipeline(config: PipelineConfig, allow_random_weights: bool = False) -> Pipeline:
     """Pipeline with cached converted weights — fixes the reference's
     model re-initialization on every invocation (propainter_nodes.py:133)."""
-    key = (config.fp16, allow_random_weights)
+    key = (config.fp16, config.raft_bf16, allow_random_weights)
     if key not in _PIPELINE_CACHE:
         _PIPELINE_CACHE[key] = Pipeline(
             weights_zoo.get_params("raft", allow_random=allow_random_weights),

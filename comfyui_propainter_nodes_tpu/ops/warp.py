@@ -50,15 +50,12 @@ def grid_sample(
     pixels (the mapping is the identity for align_corners=True).
     Returns [N, P, C].
 
-    Two lowering strategies: few-channel images (frames, masks, flows)
-    fetch each pixel's 2x2xC neighborhood with ONE vmapped dynamic_slice
-    on a zero-padded image (block gather; per-tap row gathers move
-    12-byte rows and scalarize on TPU); wide images (feature maps) use
-    per-tap row gathers whose 512-byte rows are already DMA-friendly.
+    Lowering note: a 2x2xC-block dynamic_slice variant was tried for
+    few-channel images and measured 6x SLOWER than per-tap row gathers at
+    640x360 (XLA scalarizes the tiny 3-d slices), so all shapes use the
+    row-gather + lerp path.
     """
     n, h, w, c = img.shape
-    if c < 32:
-        return _grid_sample_block(img, coords, mode)
     x = coords[..., 0]
     y = coords[..., 1]
 
@@ -99,52 +96,6 @@ def grid_sample(
         + tap(iy1, ix1, wy1 * wx1)
     )
     return out
-
-
-def _grid_sample_block(img: jnp.ndarray, coords: jnp.ndarray, mode: str) -> jnp.ndarray:
-    """Block-slice sampling path: pad 2 on each spatial side, fetch the
-    2x2 corner block per pixel with a vmapped dynamic_slice. Clamping the
-    slice start into the padding makes fully out-of-range samples read
-    exact zeros, so "zeros" padding needs no masks."""
-    n, h, w, c = img.shape
-    p = coords.shape[1]
-    x = coords[..., 0]
-    y = coords[..., 1]
-
-    if mode == "nearest":
-        # round first (half-to-even like torch), then fetch a 1x1 block
-        ix = jnp.rint(x).astype(jnp.int32)
-        iy = jnp.rint(y).astype(jnp.int32)
-        x0 = ix
-        y0 = iy
-        fx = jnp.zeros_like(x)
-        fy = jnp.zeros_like(y)
-    else:
-        x0f = jnp.floor(x)
-        y0f = jnp.floor(y)
-        fx = (x - x0f).astype(img.dtype)
-        fy = (y - y0f).astype(img.dtype)
-        x0 = x0f.astype(jnp.int32)
-        y0 = y0f.astype(jnp.int32)
-
-    pad = 2
-    imgp = jnp.pad(img, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
-    sy = jnp.clip(y0 + pad, 0, h + 2 * pad - 2)
-    sx = jnp.clip(x0 + pad, 0, w + 2 * pad - 2)
-
-    def one(im, ys, xs):
-        return jax.vmap(
-            lambda a, b: jax.lax.dynamic_slice(im, (a, b, 0), (2, 2, c))
-        )(ys, xs)
-
-    blocks = jax.vmap(one)(imgp, sy, sx)  # [N, P, 2, 2, C]
-    if mode == "nearest":
-        return blocks[:, :, 0, 0, :]
-    fy = fy[..., None]
-    fx = fx[..., None]
-    top = blocks[:, :, 0, 0, :] * (1 - fx) + blocks[:, :, 0, 1, :] * fx
-    bot = blocks[:, :, 1, 0, :] * (1 - fx) + blocks[:, :, 1, 1, :] * fx
-    return top * (1 - fy) + bot * fy
 
 
 def flow_warp(

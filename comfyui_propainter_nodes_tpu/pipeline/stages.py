@@ -79,7 +79,10 @@ class Pipeline:
         config: PipelineConfig,
     ):
         self.config = config
-        self.raft_params = jax.tree.map(jnp.asarray, raft_params)
+        rdtype = jnp.bfloat16 if config.raft_bf16 else jnp.float32
+        self.raft_params = jax.tree.map(
+            lambda a: jnp.asarray(a, dtype=rdtype), raft_params
+        )
         cdtype = jnp.bfloat16 if config.use_bf16 else jnp.float32
         self.cdtype = cdtype
         self.flow_params = jax.tree.map(
