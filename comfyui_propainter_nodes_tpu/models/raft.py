@@ -144,15 +144,24 @@ def lookup_corr(pyramid, coords: jnp.ndarray) -> jnp.ndarray:
         # out-of-range centroids, whose window then reads exact zeros
         sy = jnp.clip(y0.astype(jnp.int32) - r + _PAD, 0, hp + 2 * _PAD - _WIN)
         sx = jnp.clip(x0.astype(jnp.int32) - r + _PAD, 0, wp + 2 * _PAD - _WIN)
-        windows = jax.vmap(
-            lambda m, a, b: jax.lax.dynamic_slice(m, (a, b), (_WIN, _WIN))
-        )(corr_pad, sy, sx)  # [NHW, 10, 10]
-        vy = windows[:, : win, :] * (1 - fy)[:, None, None] + windows[
-            :, 1:, :
-        ] * fy[:, None, None]  # [NHW, 9, 10]
-        std = vy[:, :, :win] * (1 - fx)[:, None, None] + vy[:, :, 1:] * fx[
-            :, None, None
-        ]  # [NHW, 9(dy), 9(dx)]
+        from ..ops.deform_conv import _pallas_enabled
+
+        if _pallas_enabled():
+            # DMA-pipelined window gather (XLA's gather runs the slices
+            # serially and dominates RAFT runtime)
+            from ..ops.pallas.corr_lookup import corr_window_lookup_pallas
+
+            std = corr_window_lookup_pallas(corr_pad, sy, sx, fy, fx)
+        else:
+            windows = jax.vmap(
+                lambda m, a, b: jax.lax.dynamic_slice(m, (a, b), (_WIN, _WIN))
+            )(corr_pad, sy, sx)  # [NHW, 10, 10]
+            vy = windows[:, : win, :] * (1 - fy)[:, None, None] + windows[
+                :, 1:, :
+            ] * fy[:, None, None]  # [NHW, 9, 10]
+            std = vy[:, :, :win] * (1 - fx)[:, None, None] + vy[:, :, 1:] * fx[
+                :, None, None
+            ]  # [NHW, 9(dy), 9(dx)]
         # NOTE: the reference stacks meshgrid(dy, dx) directly onto (x, y)
         # coords (corr.py:37-43), so channel (i, j) samples offset
         # (dx = d_i, dy = d_j) — transpose the natural (dy, dx) grid. The

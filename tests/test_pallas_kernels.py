@@ -36,3 +36,27 @@ def test_pallas_deform_conv_oob_zero_padding():
     with pltpu.force_tpu_interpret_mode():
         out = deform_conv2d_pallas(x, off, mask, wgt, bias)
     np.testing.assert_allclose(np.asarray(out), 7.0, atol=1e-6)
+
+
+def test_pallas_corr_window_lookup_matches_slice_gather():
+    from comfyui_propainter_nodes_tpu.ops.pallas.corr_lookup import (
+        corr_window_lookup_pallas,
+    )
+
+    rng = np.random.default_rng(1)
+    m, hp, wp = 300, 40, 50
+    corr = jnp.asarray(rng.standard_normal((m, hp, wp)).astype(np.float32))
+    sy = jnp.asarray(rng.integers(0, hp - 10, m).astype(np.int32))
+    sx = jnp.asarray(rng.integers(0, wp - 10, m).astype(np.int32))
+    fy = jnp.asarray(rng.uniform(0, 1, m).astype(np.float32))
+    fx = jnp.asarray(rng.uniform(0, 1, m).astype(np.float32))
+
+    win = jax.vmap(lambda mm, a, b: jax.lax.dynamic_slice(mm, (a, b), (10, 10)))(
+        corr, sy, sx
+    )
+    vy = win[:, :9, :] * (1 - fy)[:, None, None] + win[:, 1:, :] * fy[:, None, None]
+    ref = vy[:, :, :9] * (1 - fx)[:, None, None] + vy[:, :, 1:] * fx[:, None, None]
+
+    with pltpu.force_tpu_interpret_mode():
+        out = corr_window_lookup_pallas(corr, sy, sx, fy, fx)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
