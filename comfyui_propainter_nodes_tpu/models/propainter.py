@@ -143,10 +143,22 @@ def _prop_direction_image(
     def step(carry, inputs):
         feat_prop, mask_prop = carry
         feat_current, mask_current, flow_prop, flow_check, first = inputs
-        valid = fb_consistency_check(flow_prop, flow_check)
+        # the consistency check warps flow_check and the mask warp samples
+        # mask_prop at the SAME coordinates (grid + flow_prop) — one fused
+        # bilinear gather halves the per-step gather indices
+        warped3 = flow_warp(
+            jnp.concatenate([flow_check, mask_prop], axis=-1), flow_prop
+        )
+        flow_bw_warped = warped3[..., :2]
+        mask_prop_valid = binarize(warped3[..., 2:])
+        diff = flow_prop + flow_bw_warped
+        mag = jnp.sum(flow_prop**2, -1, keepdims=True) + jnp.sum(
+            flow_bw_warped**2, -1, keepdims=True
+        )
+        valid = (
+            jnp.sum(diff**2, -1, keepdims=True) < 0.01 * mag + 0.5
+        ).astype(flow_prop.dtype)
         feat_warped = flow_warp(feat_prop, flow_prop, interpolation)
-        mask_prop_valid = flow_warp(mask_prop, flow_prop)  # bilinear
-        mask_prop_valid = binarize(mask_prop_valid)
         union = binarize(mask_current * valid * (1 - mask_prop_valid))
         feat_prop = union * feat_warped + (1 - union) * feat_current
         mask_prop = binarize(mask_current * (1 - valid * (1 - mask_prop_valid)))

@@ -152,7 +152,11 @@ class ProPainterInpaint:
             composed = pipe.process(
                 frames_norm[None], flow_masks[None], masks_dilated[None], original
             )
-            out_images = np.asarray(composed, dtype=np.float32) / 255.0
+            # fetch as uint8 (values are exact integers): 4x less
+            # host-transfer; normalize to [0, 1] on host
+            out_images = (
+                np.asarray(composed.astype(jnp.uint8)).astype(np.float32) / 255.0
+            )
         out_flow_masks = np.asarray(flow_masks, dtype=np.float32).squeeze()
         out_masks_dilated = np.asarray(masks_dilated, dtype=np.float32).squeeze()
         return (
@@ -239,7 +243,9 @@ class ProPainterOutpaint:
             composed = pipe.process(
                 frames_norm[None], flow_masks[None], masks_dilated[None], original
             )
-            out_images = np.asarray(composed, dtype=np.float32) / 255.0
+            out_images = (
+                np.asarray(composed.astype(jnp.uint8)).astype(np.float32) / 255.0
+            )
         out_masks = np.asarray(masks_dilated, dtype=np.float32).squeeze()
         return (_to_output(out_images), _to_output(out_masks), cw, chh)
 
