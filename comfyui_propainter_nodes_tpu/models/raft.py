@@ -101,7 +101,11 @@ def build_corr_pyramid(fmap1: jnp.ndarray, fmap2: jnp.ndarray):
     n, h, w, c = fmap1.shape
     f1 = fmap1.reshape(n, h * w, c)
     f2 = fmap2.reshape(n, h * w, c)
-    corr = jnp.einsum("npc,nqc->npq", f1, f2) / jnp.sqrt(jnp.asarray(c, f1.dtype))
+    # corr stays fp32 even under bf16 compute (fp32 accumulation; the
+    # Pallas lookup kernel rotates 32-bit lanes only)
+    corr = jnp.einsum(
+        "npc,nqc->npq", f1, f2, preferred_element_type=jnp.float32
+    ) / jnp.sqrt(jnp.asarray(c, jnp.float32))
     corr = corr.reshape(n * h * w, h, w, 1)
     pyramid = []
     for lvl in range(CORR_LEVELS):

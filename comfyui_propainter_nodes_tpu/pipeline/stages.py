@@ -18,6 +18,7 @@ Orchestrates the four stages of the reference driver
 
 from __future__ import annotations
 
+import os
 from typing import Callable
 
 import jax
@@ -286,6 +287,72 @@ class Pipeline:
 
     # ------------------------------------------------------------- stage 4
 
+    def window_predict_fn(self, l_t_max: int, ref_max: int, hw: tuple):
+        """Jitted BATCHED window prediction: model forward + uint8
+        composite against the original frames (no blending — that part is
+        sequential and lives in blend_scan_fn)."""
+
+        def build():
+            def f(prm, sel_frames, sel_masks, sel_upd, ff, fb, orig_slices,
+                  l_t_valid, ref_valid):
+                pred = pp.inpaint_generator_forward(
+                    prm, sel_frames, ff, fb, sel_masks, sel_upd,
+                    l_t_max, l_t_valid=l_t_valid, ref_valid=ref_valid,
+                )
+                pred = pred.astype(jnp.float32)  # [G, l_t_max, H, W, 3]
+                pred_byte = jnp.floor((pred + 1.0) / 2.0 * 255.0)
+                binary = sel_masks[:, :l_t_max].astype(jnp.float32)
+                return jnp.floor(
+                    pred_byte * binary + orig_slices * (1.0 - binary)
+                )
+
+            return f
+
+        return lambda prm, sf, sm, su, ff, fb, os_, lt, rf: self.jits.get(
+            "window_predict",
+            (sf.shape[0], l_t_max, ref_max) + tuple(hw),
+            build,
+        )(prm, sf, sm, su, ff, fb, os_, lt, rf)
+
+    def blend_scan_fn(self, l_t_max: int, hw: tuple):
+        """Jitted sequential overlap blending over all window outputs
+        (exact reference semantics, propainter_inference.py:294-307) as
+        one lax.scan — a single dispatch regardless of window count."""
+
+        def build():
+            def f(composed, imgs, n0s, blends):
+                def step(comp, xs):
+                    img, n0, blend = xs
+                    old = jax.lax.dynamic_slice_in_dim(comp, n0, l_t_max, 0)
+                    new = jnp.floor(
+                        blend[:, None, None, None] * img
+                        + (1.0 - blend[:, None, None, None]) * old
+                    )
+                    return (
+                        jax.lax.dynamic_update_slice_in_dim(comp, new, n0, 0),
+                        None,
+                    )
+
+                composed, _ = jax.lax.scan(step, composed, (imgs, n0s, blends))
+                return composed
+
+            return f
+
+        def run(composed, imgs, n0s, blends):
+            # bucket the window count so video length doesn't recompile
+            wn = imgs.shape[0]
+            wn_pad = -(-wn // 8) * 8
+            if wn_pad != wn:
+                imgs = jnp.pad(imgs, ((0, wn_pad - wn),) + ((0, 0),) * 4)
+                n0s = jnp.pad(n0s, (0, wn_pad - wn))
+                blends = jnp.pad(blends, ((0, wn_pad - wn), (0, 0)))
+            fn = self.jits.get(
+                "blend_scan", (wn_pad, l_t_max) + tuple(hw), build
+            )
+            return fn(composed, imgs, n0s, blends)
+
+        return run
+
     def feature_window_fn(self, l_t_max: int, ref_max: int, hw: tuple):
         """Jitted one-window transformer + uint8 composite + overlap blend
         (compiled once per (l_t_max, ref_max, H, W))."""
@@ -368,52 +435,87 @@ class Pipeline:
         orig_p = composed
         visited = np.zeros(t, dtype=bool)
 
-        fn = self.feature_window_fn(l_t_max, ref_max, updated_frames.shape[2:4])
+        # ---- Window predictions are independent of each other (only the
+        # uint8 blend chain is sequential, propainter_inference.py:294-307),
+        # so run the model BATCHED over groups of same-shape windows (big
+        # MXU batches, few dispatches), then apply the exact sequential
+        # blend with one lax.scan over window outputs.
+        group_size = int(os.environ.get("PROPAINTER_TPU_WINDOW_BATCH", "4"))
+        predict = self.window_predict_fn(l_t_max, ref_max, updated_frames.shape[2:4])
 
-        for neighbor_ids, ref_ids in windows:
-            l_t = len(neighbor_ids)
-            n_ref = len(ref_ids)
-            n0 = neighbor_ids[0]
-            sel = (
-                neighbor_ids
-                + [0] * (l_t_max - l_t)
-                + ref_ids
-                + [0] * (ref_max - n_ref)
-            )
-            sel_idx = jnp.asarray(sel)
-            valid = jnp.asarray(
-                [1.0] * l_t + [0.0] * (l_t_max - l_t)
-                + [1.0] * n_ref + [0.0] * (ref_max - n_ref),
-                updated_masks.dtype,
-            )[None, :, None, None, None]
+        # group consecutive windows with identical (l_t, n_ref)
+        groups: list[list[int]] = []
+        for wi, (nids, rids) in enumerate(windows):
+            sig = (len(nids), len(rids))
+            if (
+                groups
+                and len(groups[-1]) < group_size
+                and (len(windows[groups[-1][0]][0]), len(windows[groups[-1][0]][1]))
+                == sig
+            ):
+                groups[-1].append(wi)
+            else:
+                groups.append([wi])
 
-            sel_frames = uf_p[:, sel_idx]
-            sel_masks = md_p[:, sel_idx] * valid  # padded slots masked out
-            sel_upd = um_p[:, sel_idx] * valid
-            ff = jax.lax.dynamic_slice_in_dim(ff_p, n0, l_t_max - 1, axis=1)
-            fb = jax.lax.dynamic_slice_in_dim(fb_p, n0, l_t_max - 1, axis=1)
-            old_slice = jax.lax.dynamic_slice_in_dim(composed, n0, l_t_max, axis=0)
-            orig_slice = jax.lax.dynamic_slice_in_dim(orig_p, n0, l_t_max, axis=0)
-            # first visit writes; revisits blend 0.5/0.5; padded slots keep old
-            blend = jnp.asarray(
-                [0.5 if visited[i] else 1.0 for i in neighbor_ids]
-                + [0.0] * (l_t_max - l_t),
-                jnp.float32,
-            )
-            with stage_timer("feature_propagation"):
-                blended = fn(
-                    self.inpaint_params, sel_frames, sel_masks, sel_upd,
-                    ff, fb, old_slice, orig_slice, blend,
-                    jnp.asarray(l_t), jnp.asarray(n_ref),
+        imgs_per_window: list = [None] * len(windows)
+        for grp in groups:
+            sels, valids, n0s = [], [], []
+            for wi in grp:
+                nids, rids = windows[wi]
+                l_t, n_ref = len(nids), len(rids)
+                sels.append(
+                    nids + [0] * (l_t_max - l_t) + rids + [0] * (ref_max - n_ref)
                 )
-            composed = jax.lax.dynamic_update_slice_in_dim(
-                composed, blended, n0, axis=0
+                valids.append(
+                    [1.0] * l_t + [0.0] * (l_t_max - l_t)
+                    + [1.0] * n_ref + [0.0] * (ref_max - n_ref)
+                )
+                n0s.append(nids[0])
+            l_t, n_ref = len(windows[grp[0]][0]), len(windows[grp[0]][1])
+            sel_idx = jnp.asarray(sels)  # [G, T_sel]
+            valid = jnp.asarray(valids, updated_masks.dtype)[:, :, None, None, None]
+            n0_arr = jnp.asarray(n0s)
+
+            sel_frames = uf_p[0, sel_idx]  # [G, T_sel, H, W, 3]
+            sel_masks = md_p[0, sel_idx] * valid
+            sel_upd = um_p[0, sel_idx] * valid
+            ff = jax.vmap(
+                lambda s: jax.lax.dynamic_slice_in_dim(ff_p[0], s, l_t_max - 1, 0)
+            )(n0_arr)
+            fb = jax.vmap(
+                lambda s: jax.lax.dynamic_slice_in_dim(fb_p[0], s, l_t_max - 1, 0)
+            )(n0_arr)
+            orig_slices = jax.vmap(
+                lambda s: jax.lax.dynamic_slice_in_dim(orig_p, s, l_t_max, 0)
+            )(n0_arr)
+            with stage_timer("feature_propagation"):
+                imgs = predict(
+                    self.inpaint_params, sel_frames, sel_masks, sel_upd,
+                    ff, fb, orig_slices, jnp.asarray(l_t), jnp.asarray(n_ref),
+                )
+            for gi, wi in enumerate(grp):
+                imgs_per_window[wi] = imgs[gi]
+
+        # blend vectors from the deterministic visit order
+        blends, n0_list = [], []
+        for nids, _ in windows:
+            l_t = len(nids)
+            blends.append(
+                [0.5 if visited[i] else 1.0 for i in nids] + [0.0] * (l_t_max - l_t)
             )
-            for i in neighbor_ids:
+            n0_list.append(nids[0])
+            for i in nids:
                 visited[i] = True
 
-        composed = composed[:t]
-        return composed
+        blend_fn = self.blend_scan_fn(l_t_max, updated_frames.shape[2:4])
+        with stage_timer("feature_propagation"):
+            composed = blend_fn(
+                composed,
+                jnp.stack(imgs_per_window),
+                jnp.asarray(n0_list),
+                jnp.asarray(blends, jnp.float32),
+            )
+        return composed[:t]
 
     # ------------------------------------------------------------ full run
 
