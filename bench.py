@@ -46,7 +46,7 @@ def synthetic_clip(t: int, h: int, w: int):
         y0 = int(h * 0.3) + i
         frames[i, y0 : y0 + h // 6, x0 : x0 + w // 8] = [1.0, 0.2, 0.2]
         masks[i, y0 : y0 + h // 6, x0 : x0 + w // 8] = 1.0
-    return frames, masks
+    return (frames * 255).astype(np.uint8), (masks * 255).astype(np.uint8)
 
 
 def main() -> None:

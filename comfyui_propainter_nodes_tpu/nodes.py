@@ -31,6 +31,16 @@ def _to_numpy(x) -> np.ndarray:
     return np.asarray(x)
 
 
+def _upload_frames(frames: np.ndarray) -> jnp.ndarray:
+    """Device upload as [T, H, W, C] float in [0, 1].
+
+    uint8 inputs upload as-is (4x less transfer) and normalize on device;
+    float inputs upload unchanged."""
+    if frames.dtype == np.uint8:
+        return jnp.asarray(frames).astype(jnp.float32) / 255.0
+    return jnp.asarray(frames.astype(np.float32, copy=False))
+
+
 def _to_output(x: np.ndarray):
     try:
         import torch
@@ -121,8 +131,12 @@ class ProPainterInpaint:
         _allow_random_weights: bool = False,
     ):
         """Perform inpainting on images input using the ProPainter pipeline."""
-        frames = _to_numpy(image).astype(np.float32)
-        masks = _to_numpy(mask).astype(np.float32)
+        frames = _to_numpy(image)
+        if frames.dtype != np.uint8:
+            frames = frames.astype(np.float32, copy=False)
+        masks = _to_numpy(mask)
+        if masks.dtype != np.uint8:
+            masks = masks.astype(np.float32, copy=False)
         if masks.ndim == 2:
             masks = masks[None]
         check_inputs(frames, masks)
@@ -139,12 +153,15 @@ class ProPainterInpaint:
         )
 
         frames_norm, original = image_utils.prepare_frames(
-            jnp.asarray(frames), pw, ph
+            _upload_frames(frames), pw, ph
         )
         if masks.shape[0] == 1:
             masks = np.broadcast_to(masks, (frames.shape[0],) + masks.shape[1:])
+        masks_dev = jnp.asarray(masks)
+        if masks.dtype == np.uint8:
+            masks_dev = masks_dev.astype(jnp.float32) / 255.0
         flow_masks, masks_dilated = image_utils.prepare_masks(
-            jnp.asarray(masks), pw, ph, flow_mask_dilates, mask_dilates
+            masks_dev, pw, ph, flow_mask_dilates, mask_dilates
         )
 
         pipe = get_pipeline(config, _allow_random_weights)
@@ -216,7 +233,9 @@ class ProPainterOutpaint:
         _allow_random_weights: bool = False,
     ):
         """Perform outpainting on images input using the ProPainter pipeline."""
-        frames = _to_numpy(image).astype(np.float32)
+        frames = _to_numpy(image)
+        if frames.dtype != np.uint8:
+            frames = frames.astype(np.float32, copy=False)
 
         img_cfg = OutpaintConfig(
             width, height, mask_dilates, flow_mask_dilates, width_scale, height_scale
@@ -233,7 +252,7 @@ class ProPainterOutpaint:
         )
 
         canvas, flow_masks, masks_dilated = image_utils.extrapolate_frames(
-            jnp.asarray(frames), pw, ph, cw, chh
+            _upload_frames(frames), pw, ph, cw, chh
         )
         original = jnp.floor(jnp.clip(canvas * 255.0, 0.0, 255.0))
         frames_norm = canvas * 2.0 - 1.0
