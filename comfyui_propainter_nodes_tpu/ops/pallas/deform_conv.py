@@ -4,22 +4,18 @@ The XLA formulation in ops/deform_conv.py lowers its per-(group, tap)
 bilinear gather to scalarized dynamic slices (~100 ms/frame at the
 pipeline's 90x160x128 working shape). TPUs have no vector gather — but
 they have an MXU. This kernel reformulates bilinear sampling as two
-SEPARABLE ONE-HOT CONTRACTIONS:
+SEPARABLE ONE-HOT CONTRACTIONS, laid out pixel-on-LANES so the
+per-(group, tap) pixel scalars are dense [1, TILE] row vectors (the
+pixel-on-sublanes variant padded every scalar vector to 128 lanes and
+blew VMEM once all 144 (g, k) pairs shared one grid step):
 
-    sample[p] = onehot_y[p, :] @ X @ onehot_x[p, :]^T
+    for (g, k):                       # one grid step per pixel tile
+      oyT[h, p]    = two-hot bilinear row weights      (iota compare)
+      tmpT[wc, p]  = xgT[wc, h] @ oyT[h, p]            (MXU)
+      sT[c, p]     = SELT[c, wc] @ (tmpT * oxT_rep)    (MXU segment sum)
+      accT[co, p] += wkT[co, c] @ (sT * mask)          (MXU)
 
-where onehot_y[p, h] carries the two bilinear row weights (zero
-elsewhere — out-of-bounds taps vanish automatically, matching "zeros"
-padding). Per (pixel-tile, group, tap) grid step:
-
-    tmp[p, wc*cg] = oy[p, h] @ x_g[h, wc*cg]       (MXU, W chunked)
-    s[p, cg]     += sum_w ox[p, wc] * tmp[p, wc, cg] (VPU)
-    out[p, :]    += (s * mask) @ W[g, k]             (MXU)
-
-The group image (H x W x Cg) stays in VMEM; `out` is revisited across
-the (g, k) minor grid dims and accumulated in place. Pixel tiles are
-8x128 = 1024 wide to satisfy Mosaic's (8, 128) block tiling.
-
+Out-of-bounds taps never match the iota -> exact "zeros" padding.
 Semantics identical to ops.deform_conv2d_xla (stride 1, dilation 1,
 torchvision layout; reference call sites model/propainter.py:73-82,
 model/recurrent_flow_completion.py:44-53).
@@ -34,62 +30,48 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE = 1024  # 8 sublanes x 128 lanes of pixels
-W_CHUNK = 128  # width chunking bounds the tmp buffer in VMEM
+TILE = 512  # pixels per grid step, on the lane axis
 
 
-def _kernel(sy_ref, sx_ref, mask_ref, x_ref, w_ref, out_ref, *, h, w, cg):
-    g = pl.program_id(1)
-    k = pl.program_id(2)
+def _kernel(sy_ref, sx_ref, mask_ref, x_ref, w_ref, out_ref, *, h, w, cg, g, k):
+    wcg = w * cg
+    rows_t = jax.lax.broadcasted_iota(jnp.int32, (h, TILE), 0)
+    colsr_t = jax.lax.broadcasted_iota(jnp.int32, (wcg, TILE), 0) // cg
+    # {0,1} per-channel segment-sum matrix over the w-major layout
+    sel_t = (
+        jax.lax.broadcasted_iota(jnp.int32, (cg, wcg), 1) % cg
+        == jax.lax.broadcasted_iota(jnp.int32, (cg, wcg), 0)
+    ).astype(jnp.float32)
 
-    @pl.when((g == 0) & (k == 0))
-    def _():
-        out_ref[:] = jnp.zeros_like(out_ref)
-
-    sy = sy_ref[0, 0, 0]  # [TILE, 1]
-    sx = sx_ref[0, 0, 0]
-    m = mask_ref[0, 0, 0]
-
-    y0 = jnp.floor(sy)
-    x0 = jnp.floor(sx)
-    wy1 = sy - y0  # [TILE, 1] broadcasts over the lane dim
-    wx1 = sx - x0
-    y0i = y0.astype(jnp.int32)
-    x0i = x0.astype(jnp.int32)
-
-    rows = jax.lax.broadcasted_iota(jnp.int32, (TILE, h), 1)
-    # two-hot bilinear row weights; indices outside [0, H) never match the
-    # iota -> zeros padding for free
-    oy = jnp.where(rows == y0i, 1.0 - wy1, 0.0) + jnp.where(
-        rows == y0i + 1, wy1, 0.0
-    )
-
-    xg = x_ref[0]  # [h, w*cg], w-major: column j = (w_idx * cg + c)
-    s = jnp.zeros((TILE, cg), jnp.float32)
-    for wc in range(0, w, W_CHUNK):
-        wcs = min(W_CHUNK, w - wc)
-        xc = xg[:, wc * cg : (wc + wcs) * cg]  # [h, wcs*cg]
-        tmp = jnp.dot(
-            oy.astype(xc.dtype), xc, preferred_element_type=jnp.float32
-        )  # [TILE, wcs*cg]
-        # expanded column weights: column j belongs to width wc + j // cg
-        cols_e = (
-            jax.lax.broadcasted_iota(jnp.int32, (TILE, wcs * cg), 1) // cg + wc
-        )
-        ox_e = jnp.where(cols_e == x0i, 1.0 - wx1, 0.0) + jnp.where(
-            cols_e == x0i + 1, wx1, 0.0
-        )
-        # per-channel segment sum over the w-major layout as a matmul with
-        # a {0,1} selection matrix (avoids lane reshapes Mosaic rejects)
-        sel = (
-            jax.lax.broadcasted_iota(jnp.int32, (wcs * cg, cg), 0) % cg
-            == jax.lax.broadcasted_iota(jnp.int32, (wcs * cg, cg), 1)
-        ).astype(jnp.float32)
-        s = s + jnp.dot(tmp * ox_e, sel, preferred_element_type=jnp.float32)
-
-    s = s * m
-    wk = w_ref[0, 0].astype(jnp.float32)  # [cg, cout]
-    out_ref[:] += jnp.dot(s, wk, preferred_element_type=jnp.float32)
+    acc = jnp.zeros((out_ref.shape[0], TILE), jnp.float32)
+    for gi in range(g):
+        xg_t = x_ref[gi]  # [w*cg, h]
+        for ki in range(k):
+            sy = sy_ref[gi, ki, 0]  # [1, TILE]
+            sx = sx_ref[gi, ki, 0]
+            m = mask_ref[gi, ki, 0]
+            y0 = jnp.floor(sy)
+            x0 = jnp.floor(sx)
+            wy1 = sy - y0
+            wx1 = sx - x0
+            y0i = y0.astype(jnp.int32)
+            x0i = x0.astype(jnp.int32)
+            oy_t = jnp.where(rows_t == y0i, 1.0 - wy1, 0.0) + jnp.where(
+                rows_t == y0i + 1, wy1, 0.0
+            )  # [h, TILE]
+            ox_t = jnp.where(colsr_t == x0i, 1.0 - wx1, 0.0) + jnp.where(
+                colsr_t == x0i + 1, wx1, 0.0
+            )  # [w*cg, TILE] (already channel-expanded via // cg)
+            tmp_t = jnp.dot(
+                xg_t, oy_t.astype(xg_t.dtype), preferred_element_type=jnp.float32
+            )  # [w*cg, TILE]
+            s_t = jnp.dot(
+                sel_t, tmp_t * ox_t, preferred_element_type=jnp.float32
+            )  # [cg, TILE]
+            s_t = s_t * m
+            wk_t = w_ref[gi, ki].astype(jnp.float32)  # [cout, cg]
+            acc = acc + jnp.dot(wk_t, s_t, preferred_element_type=jnp.float32)
+    out_ref[...] = acc
 
 
 @functools.partial(jax.jit, static_argnames=("padding",))
@@ -142,44 +124,36 @@ def deform_conv2d_pallas(
         sy = jnp.pad(sy, padp, constant_values=-10.0)  # never matches iota
         sx = jnp.pad(sx, padp, constant_values=-10.0)
         mk = jnp.pad(mk, padp)
-    # [TILE, 1] pixel layout: arrives in-kernel pre-shaped for sublane
-    # broadcasting (Mosaic rejects lane-collapsing reshapes)
-    sy = sy.reshape(n, g, k, n_tiles, TILE, 1)
-    sx = sx.reshape(n, g, k, n_tiles, TILE, 1)
-    mk = mk.reshape(n, g, k, n_tiles, TILE, 1)
+    # pixels on LANES: [N, G, K, n_tiles, 1, TILE]
+    sy = sy.reshape(n, g, k, n_tiles, 1, TILE)
+    sx = sx.reshape(n, g, k, n_tiles, 1, TILE)
+    mk = mk.reshape(n, g, k, n_tiles, 1, TILE)
 
-    # x grouped + w-major flattened [N, G, H, W*Cg]; weight [G, K, Cg, Cout]
+    # x grouped, w-major flattened, TRANSPOSED [N, G, W*Cg, H];
+    # weight [G, K, Cout, Cg]
     xg = (
         x.reshape(n, h, w, g, cg)
-        .transpose(0, 3, 1, 2, 4)
-        .reshape(n, g, h, w * cg)
+        .transpose(0, 3, 2, 4, 1)
+        .reshape(n, g, w * cg, h)
     )
-    wg = weight.reshape(k, g, cg, cout).transpose(1, 0, 2, 3).astype(jnp.float32)
+    wg = weight.reshape(k, g, cg, cout).transpose(1, 0, 3, 2).astype(jnp.float32)
 
-    grid = (n_tiles, g, k)
-    kern = functools.partial(_kernel, h=h, w=w, cg=cg)
+    grid = (n_tiles,)
+    kern = functools.partial(_kernel, h=h, w=w, cg=cg, g=g, k=k)
 
     def run_one(xg1, sy1, sx1, mk1):
         return pl.pallas_call(
             kern,
             grid=grid,
             in_specs=[
-                pl.BlockSpec(
-                    (1, 1, 1, TILE, 1), lambda pt, gi, ki: (gi, ki, pt, 0, 0)
-                ),
-                pl.BlockSpec(
-                    (1, 1, 1, TILE, 1), lambda pt, gi, ki: (gi, ki, pt, 0, 0)
-                ),
-                pl.BlockSpec(
-                    (1, 1, 1, TILE, 1), lambda pt, gi, ki: (gi, ki, pt, 0, 0)
-                ),
-                pl.BlockSpec((1, h, w * cg), lambda pt, gi, ki: (gi, 0, 0)),
-                pl.BlockSpec(
-                    (1, 1, cg, cout), lambda pt, gi, ki: (gi, ki, 0, 0)
-                ),
+                pl.BlockSpec((g, k, 1, 1, TILE), lambda pt: (0, 0, pt, 0, 0)),
+                pl.BlockSpec((g, k, 1, 1, TILE), lambda pt: (0, 0, pt, 0, 0)),
+                pl.BlockSpec((g, k, 1, 1, TILE), lambda pt: (0, 0, pt, 0, 0)),
+                pl.BlockSpec((g, w * cg, h), lambda pt: (0, 0, 0)),
+                pl.BlockSpec((g, k, cout, cg), lambda pt: (0, 0, 0, 0)),
             ],
-            out_specs=pl.BlockSpec((TILE, cout), lambda pt, gi, ki: (pt, 0)),
-            out_shape=jax.ShapeDtypeStruct((hw_pad, cout), jnp.float32),
+            out_specs=pl.BlockSpec((cout, TILE), lambda pt: (0, pt)),
+            out_shape=jax.ShapeDtypeStruct((cout, hw_pad), jnp.float32),
             cost_estimate=pl.CostEstimate(
                 flops=2 * hw_pad * g * k * (h * w * cg + cg * cout),
                 bytes_accessed=hw_pad * g * k * 12 + g * h * w * cg * 2,
@@ -187,8 +161,8 @@ def deform_conv2d_pallas(
             ),
         )(sy1, sx1, mk1, xg1, wg)
 
-    out = jax.vmap(run_one)(xg, sy, sx, mk)  # [N, hw_pad, Cout]
-    out = out[:, :hw, :].reshape(n, h, w, cout)
+    out = jax.vmap(run_one)(xg, sy, sx, mk)  # [N, Cout, hw_pad]
+    out = out[:, :, :hw].transpose(0, 2, 1).reshape(n, h, w, cout)
     if bias is not None:
         out = out + bias.astype(out.dtype)
     return out.astype(x.dtype)
