@@ -92,14 +92,47 @@ def import_reference_module(name: str):
 
 
 def install_reference_path():
-    """Make the reference repo importable as a package `refmodel`."""
+    """Make the reference repo importable (torchvision stubbed)."""
     if "torchvision" not in sys.modules:
         tv = types.ModuleType("torchvision")
         tv_ops = types.ModuleType("torchvision.ops")
         tv_ops.deform_conv2d = torch_deform_conv2d
         tv.ops = tv_ops
+
+        # minimal transforms surface used by the reference's image_utils
+        tv_tf = types.ModuleType("torchvision.transforms")
+
+        class _Compose:
+            def __init__(self, fns):
+                self.fns = fns
+
+            def __call__(self, x):
+                for f in self.fns:
+                    x = f(x)
+                return x
+
+        tv_tf.Compose = _Compose
+        tv_tff = types.ModuleType("torchvision.transforms.functional")
+
+        def _to_pil_image(t):
+            from PIL import Image
+
+            a = t.detach().cpu().numpy()
+            if a.ndim == 3 and a.shape[0] in (1, 3):
+                a = np.moveaxis(a, 0, -1)
+            if a.ndim == 3 and a.shape[-1] == 1:
+                a = a[..., 0]
+            if a.dtype != np.uint8:
+                a = np.clip(a * 255.0, 0, 255).astype(np.uint8)
+            return Image.fromarray(a)
+
+        tv_tff.to_pil_image = _to_pil_image
+        tv_tf.functional = tv_tff
+        tv.transforms = tv_tf
         sys.modules["torchvision"] = tv
         sys.modules["torchvision.ops"] = tv_ops
+        sys.modules["torchvision.transforms"] = tv_tf
+        sys.modules["torchvision.transforms.functional"] = tv_tff
     if REFERENCE_ROOT not in sys.path:
         sys.path.insert(0, REFERENCE_ROOT)
 
