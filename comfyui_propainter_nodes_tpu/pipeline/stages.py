@@ -78,8 +78,10 @@ class Pipeline:
         flow_params: dict,
         inpaint_params: dict,
         config: PipelineConfig,
+        mesh=None,
     ):
         self.config = config
+        self.mesh = mesh  # optional jax Mesh: shards window batches (dp)
         rdtype = jnp.bfloat16 if config.raft_bf16 else jnp.float32
         self.raft_params = jax.tree.map(
             lambda a: jnp.asarray(a, dtype=rdtype), raft_params
@@ -488,6 +490,15 @@ class Pipeline:
             orig_slices = jax.vmap(
                 lambda s: jax.lax.dynamic_slice_in_dim(orig_p, s, l_t_max, 0)
             )(n0_arr)
+            if self.mesh is not None:
+                from ..parallel.inference import shard_window_batch
+
+                sel_frames, sel_masks, sel_upd, ff, fb, orig_slices = (
+                    shard_window_batch(
+                        self.mesh,
+                        (sel_frames, sel_masks, sel_upd, ff, fb, orig_slices),
+                    )
+                )
             with stage_timer("feature_propagation"):
                 imgs = predict(
                     self.inpaint_params, sel_frames, sel_masks, sel_upd,

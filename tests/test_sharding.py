@@ -78,3 +78,34 @@ def test_shard_params_placement():
     assert shard_shapes == {(512, 128)}
     e = sharded["encoder.layers.0.weight"]
     assert {s.data.shape for s in e.addressable_shards} == {(3, 3, 5, 64)}
+
+
+def test_sharded_window_inference_matches_unsharded():
+    """Window batches sharded over the mesh data axis give identical
+    pipeline output (inference dp, SURVEY §2.4)."""
+    import os
+
+    os.environ["PROPAINTER_TPU_WINDOW_BATCH"] = "4"
+    from comfyui_propainter_nodes_tpu.config import PipelineConfig
+    from comfyui_propainter_nodes_tpu.pipeline.stages import Pipeline
+    from comfyui_propainter_nodes_tpu.utils import weights as wz
+
+    t, h, w = 16, 48, 64
+    rng = np.random.default_rng(0)
+    frames = jnp.asarray(rng.uniform(-1, 1, (1, t, h, w, 3)).astype(np.float32))
+    masks = jnp.zeros((1, t, h, w, 1)).at[:, :, 16:32, 20:44].set(1.0)
+    orig = jnp.asarray(rng.uniform(0, 255, (t, h, w, 3)).astype(np.float32))
+
+    cfg = PipelineConfig(
+        ref_stride=4, neighbor_length=4, subvideo_length=80, raft_iter=1,
+        fp16="disable", process_size=(w, h),
+    )
+    params = [
+        wz.get_params(m, allow_random=True)
+        for m in ("raft", "flow_completion", "inpaint_generator")
+    ]
+    base = Pipeline(*params, cfg).process(frames, masks, masks, orig)
+
+    mesh = make_mesh(4, model_parallel=1)  # dp=4 over window batches
+    sharded = Pipeline(*params, cfg, mesh=mesh).process(frames, masks, masks, orig)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(sharded))
