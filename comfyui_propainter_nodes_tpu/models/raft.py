@@ -10,8 +10,9 @@ update,corr}.py) for XLA:
   * the all-pairs correlation pyramid (corr.py:12-60) is four batched
     matmul+avg-pool tensors; the per-iteration (2r+1)^2-window lookup is a
     batched bilinear gather shared with ops.warp;
-  * both flow directions of RAFT_bi (flow_comp_raft.py:39-58) are stacked
-    into one batch so the MXU sees 2*(T-1) image pairs at once;
+  * both flow directions of RAFT_bi (flow_comp_raft.py:39-58) run
+    sequentially through one compiled program (batching them doubles the
+    correlation-pyramid footprint for no MXU gain at these batch sizes);
   * convex upsampling (raft.py:81-92) is one einsum.
 
 Only the "large" configuration is implemented (small=False,
@@ -29,9 +30,7 @@ import jax.numpy as jnp
 from ..ops import (
     avg_pool2d,
     batch_norm_eval,
-    conv2d,
     coords_grid,
-    grid_sample,
     instance_norm,
     pconv2d,
     unfold,
@@ -124,10 +123,11 @@ def lookup_corr(pyramid, coords: jnp.ndarray) -> jnp.ndarray:
     Returns [N, H, W, LEVELS*(2r+1)^2].
 
     TPU-native formulation: all 81 taps of a pixel share one fractional
-    offset, so fetch each pixel's (2r+2)^2 window with ONE dynamic_slice
-    (vmapped -> an XLA gather moving 400-byte blocks, not single floats —
-    the scalarized per-tap gather was 80%+ of RAFT runtime) and apply the
-    shared bilinear weights with four shifted slices.
+    offset, so only the pixel's (2r+2)^2 window is fetched and the shared
+    bilinear weights are applied with four shifted slices. On TPU the
+    fetch is the DMA-pipelined Pallas kernel (ops/pallas/corr_lookup.py;
+    XLA's gather runs window slices serially at ~2us each and dominated
+    the whole pipeline); elsewhere a vmapped dynamic_slice.
     """
     n, h, w, _ = coords.shape
     r = CORR_RADIUS

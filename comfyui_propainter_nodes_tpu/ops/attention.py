@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .conv import conv2d, linear, layer_norm, leaky_relu
+from .conv import conv2d, linear, layer_norm
 from .patches import unfold, fold, fold_normalizer
 from .pool import max_pool2d
 

@@ -28,7 +28,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
+
 
 TILE = 512  # pixels per grid step, on the lane axis
 

@@ -16,7 +16,6 @@ Conventions:
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

@@ -13,10 +13,10 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 import optax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
 from ..models.propainter import inpaint_generator_forward
-from ..parallel.sharding import batch_sharding, param_spec, shard_params
+from ..parallel.sharding import batch_sharding, shard_params
 from .losses import reconstruction_loss
 
 
