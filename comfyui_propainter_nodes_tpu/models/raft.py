@@ -135,10 +135,9 @@ def lookup_corr(pyramid, coords: jnp.ndarray) -> jnp.ndarray:
     nhw = n * h * w
     flat = coords.reshape(nhw, 2)
 
-    out = []
-    for i, corr_pad in enumerate(pyramid):
+    def starts_and_fracs(corr_pad, lvl):
         hp, wp = corr_pad.shape[1] - 2 * _PAD, corr_pad.shape[2] - 2 * _PAD
-        c = flat / (2**i)
+        c = flat / (2**lvl)
         cx, cy = c[:, 0], c[:, 1]
         x0 = jnp.floor(cx)
         y0 = jnp.floor(cy)
@@ -148,28 +147,43 @@ def lookup_corr(pyramid, coords: jnp.ndarray) -> jnp.ndarray:
         # out-of-range centroids, whose window then reads exact zeros
         sy = jnp.clip(y0.astype(jnp.int32) - r + _PAD, 0, hp + 2 * _PAD - _WIN)
         sx = jnp.clip(x0.astype(jnp.int32) - r + _PAD, 0, wp + 2 * _PAD - _WIN)
-        from ..ops.deform_conv import _pallas_enabled
+        return sy, sx, fy, fx
 
-        if _pallas_enabled():
-            # DMA-pipelined window gather (XLA's gather runs the slices
-            # serially and dominates RAFT runtime)
-            from ..ops.pallas.corr_lookup import corr_window_lookup_pallas
+    from ..ops.deform_conv import _pallas_enabled
 
-            std = corr_window_lookup_pallas(corr_pad, sy, sx, fy, fx)
-        else:
-            windows = jax.vmap(
-                lambda m, a, b: jax.lax.dynamic_slice(m, (a, b), (_WIN, _WIN))
-            )(corr_pad, sy, sx)  # [NHW, 10, 10]
-            vy = windows[:, : win, :] * (1 - fy)[:, None, None] + windows[
-                :, 1:, :
-            ] * fy[:, None, None]  # [NHW, 9, 10]
-            std = vy[:, :, :win] * (1 - fx)[:, None, None] + vy[:, :, 1:] * fx[
-                :, None, None
-            ]  # [NHW, 9(dy), 9(dx)]
+    if _pallas_enabled() and len(pyramid) == CORR_LEVELS:
+        # fused DMA-pipelined window gather over all levels (XLA's gather
+        # runs the slices serially and dominated RAFT runtime)
+        from ..ops.pallas.corr_lookup import corr_window_lookup4_pallas
+
+        per = [starts_and_fracs(p, i) for i, p in enumerate(pyramid)]
+        std4 = corr_window_lookup4_pallas(
+            pyramid,
+            jnp.stack([q[0] for q in per]),
+            jnp.stack([q[1] for q in per]),
+            jnp.stack([q[2] for q in per]),
+            jnp.stack([q[3] for q in per]),
+        )  # [NHW, 4, 9(dy), 9(dx)]
         # NOTE: the reference stacks meshgrid(dy, dx) directly onto (x, y)
         # coords (corr.py:37-43), so channel (i, j) samples offset
         # (dx = d_i, dy = d_j) — transpose the natural (dy, dx) grid. The
         # pretrained update-block weights depend on this ordering.
+        quirk = jnp.swapaxes(std4, 2, 3)
+        return quirk.reshape(n, h, w, CORR_LEVELS * win * win)
+
+    out = []
+    for i, corr_pad in enumerate(pyramid):
+        sy, sx, fy, fx = starts_and_fracs(corr_pad, i)
+        windows = jax.vmap(
+            lambda m, a, b: jax.lax.dynamic_slice(m, (a, b), (_WIN, _WIN))
+        )(corr_pad, sy, sx)  # [NHW, 10, 10]
+        vy = windows[:, : win, :] * (1 - fy)[:, None, None] + windows[
+            :, 1:, :
+        ] * fy[:, None, None]  # [NHW, 9, 10]
+        std = vy[:, :, :win] * (1 - fx)[:, None, None] + vy[:, :, 1:] * fx[
+            :, None, None
+        ]  # [NHW, 9(dy), 9(dx)]
+        # (dy, dx) -> (dx, dy) quirk; see note above
         quirk = jnp.swapaxes(std, 1, 2)
         out.append(quirk.reshape(n, h, w, win * win))
     return jnp.concatenate(out, axis=-1)

@@ -60,3 +60,39 @@ def test_pallas_corr_window_lookup_matches_slice_gather():
     with pltpu.force_tpu_interpret_mode():
         out = corr_window_lookup_pallas(corr, sy, sx, fy, fx)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_pallas_fused4_corr_lookup_matches_slice_gather():
+    from comfyui_propainter_nodes_tpu.ops.pallas.corr_lookup import (
+        corr_window_lookup4_pallas,
+    )
+
+    rng = np.random.default_rng(2)
+    m = 300
+    pyr, sys_, sxs, fys, fxs, refs = [], [], [], [], [], []
+    for hp, wp in [(40, 50), (28, 34), (22, 26), (20, 22)]:
+        c = jnp.asarray(rng.standard_normal((m, hp, wp)).astype(np.float32))
+        pyr.append(c)
+        sy = rng.integers(0, hp - 10, m).astype(np.int32)
+        sx = rng.integers(0, wp - 10, m).astype(np.int32)
+        fy = rng.uniform(0, 1, m).astype(np.float32)
+        fx = rng.uniform(0, 1, m).astype(np.float32)
+        sys_.append(sy), sxs.append(sx), fys.append(fy), fxs.append(fx)
+        win = jax.vmap(
+            lambda mm, a, b: jax.lax.dynamic_slice(mm, (a, b), (10, 10))
+        )(c, jnp.asarray(sy), jnp.asarray(sx))
+        vy = win[:, :9, :] * (1 - fy)[:, None, None] + win[:, 1:, :] * fy[:, None, None]
+        refs.append(
+            vy[:, :, :9] * (1 - fx)[:, None, None] + vy[:, :, 1:] * fx[:, None, None]
+        )
+    with pltpu.force_tpu_interpret_mode():
+        out = corr_window_lookup4_pallas(
+            pyr,
+            jnp.asarray(np.stack(sys_)),
+            jnp.asarray(np.stack(sxs)),
+            jnp.asarray(np.stack(fys)),
+            jnp.asarray(np.stack(fxs)),
+        )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(jnp.stack(refs, 1)), atol=1e-5
+    )
