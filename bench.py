@@ -50,6 +50,7 @@ def synthetic_clip(t: int, h: int, w: int):
 
 
 def main() -> None:
+    mode = os.environ.get("BENCH_MODE", "inpaint")  # inpaint | outpaint
     t = int(os.environ.get("BENCH_FRAMES", "24"))
     w = int(os.environ.get("BENCH_WIDTH", "640"))
     h = int(os.environ.get("BENCH_HEIGHT", "360"))
@@ -62,10 +63,13 @@ def main() -> None:
     )
     frames, masks = synthetic_clip(t, h, w)
 
-    from comfyui_propainter_nodes_tpu.nodes import ProPainterInpaint
+    from comfyui_propainter_nodes_tpu.nodes import (
+        ProPainterInpaint,
+        ProPainterOutpaint,
+    )
     from comfyui_propainter_nodes_tpu.utils import profiling
 
-    node = ProPainterInpaint()
+    node = ProPainterOutpaint() if mode == "outpaint" else ProPainterInpaint()
     if raft_bf16:
         from comfyui_propainter_nodes_tpu import nodes as _nodes
         from comfyui_propainter_nodes_tpu.config import PipelineConfig
@@ -76,6 +80,22 @@ def main() -> None:
         )
 
     def run():
+        if mode == "outpaint":
+            return node.propainter_outpainting(
+                frames,
+                width=w,
+                height=h,
+                width_scale=1.2,
+                height_scale=1.0,
+                mask_dilates=5,
+                flow_mask_dilates=8,
+                ref_stride=10,
+                neighbor_length=10,
+                subvideo_length=80,
+                raft_iter=20,
+                fp16=fp16,
+                _allow_random_weights=True,
+            )
         return node.propainter_inpainting(
             frames,
             masks,
@@ -109,7 +129,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "inpaint_frames_per_sec_640x360",
+                "metric": f"{mode}_frames_per_sec_{w}x{h}",
                 "value": round(fps, 3),
                 "unit": "frames/s/chip",
                 "vs_baseline": round(fps / baseline_target, 4),
