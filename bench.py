@@ -123,7 +123,18 @@ def main() -> None:
     dt = time.perf_counter() - t0
     fps = t / dt
     log(f"steady: {dt:.2f}s -> {fps:.2f} frames/s")
-    profiling.log_summary(log)
+
+    if os.environ.get("BENCH_STAGE_SPLIT", "1") == "1":
+        # extra run with blocking timers: per-stage attribution that sums
+        # to ~wall time (serializes stages, so measured separately)
+        profiling.set_blocking(True)
+        profiling.reset()
+        t0 = time.perf_counter()
+        out = run()
+        np.asarray(out[0])
+        log(f"stage-split run: {time.perf_counter() - t0:.2f}s")
+        profiling.log_summary(log)
+        profiling.set_blocking(False)
 
     baseline_target = 30.0  # BASELINE.md north star frames/s/chip
     print(

@@ -18,6 +18,7 @@ utils/download_utils.py):
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import urllib.request
@@ -31,6 +32,43 @@ MODEL_FILES = {
     "flow_completion": "recurrent_flow_completion.pth",
     "inpaint_generator": "ProPainter.pth",
 }
+
+# Pinned digests of the upstream release artifacts. Empty entries use
+# trust-on-first-use: the first verified download records its digest in a
+# `<file>.sha256` sidecar, and every later load checks against it (the
+# build environment is air-gapped, so the canonical digests cannot be
+# fetched here; pin them once a connected environment observes them).
+KNOWN_SHA256: dict[str, str] = {}
+
+
+def _sha256(path: str) -> str:
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        for block in iter(lambda: f.read(1 << 20), b""):
+            h.update(block)
+    return h.hexdigest()
+
+
+def verify_checksum(path: str) -> str:
+    """Verify `path` against the pinned table or its sidecar; record the
+    digest on first sight. Returns the digest. Raises IOError on
+    mismatch (corrupt or tampered download)."""
+    digest = _sha256(path)
+    expected = KNOWN_SHA256.get(os.path.basename(path))
+    sidecar = path + ".sha256"
+    if expected is None and os.path.exists(sidecar):
+        with open(sidecar) as f:
+            expected = f.read().strip()
+    if expected is not None:
+        if digest != expected:
+            raise IOError(
+                f"checksum mismatch for {path}: got {digest}, "
+                f"expected {expected}"
+            )
+    else:
+        with open(sidecar, "w") as f:
+            f.write(digest)
+    return digest
 
 _SPEC_PATH = os.path.join(os.path.dirname(__file__), "param_specs.json")
 _PARAM_CACHE: dict[str, dict[str, np.ndarray]] = {}
@@ -53,7 +91,11 @@ def download_model(url: str, dest: str, retries: int = 3) -> None:
             urllib.request.urlretrieve(url, tmp)
             if os.path.getsize(tmp) < 1 << 20:
                 raise IOError(f"suspiciously small download: {url}")
+            expected = KNOWN_SHA256.get(os.path.basename(dest))
+            if expected is not None and _sha256(tmp) != expected:
+                raise IOError(f"checksum mismatch for {url}")
             os.replace(tmp, dest)
+            verify_checksum(dest)
             return
         except Exception as e:  # noqa: BLE001 - retry any transport error
             last_err = e
@@ -106,6 +148,7 @@ def get_params(
     if os.path.exists(npz):
         params = load_params(npz)
     elif os.path.exists(pth):
+        verify_checksum(pth)
         params = load_torch_checkpoint(pth)
         save_params(params, npz)
     elif allow_download:

@@ -96,3 +96,19 @@ def test_weights_missing_raises(tmp_path, monkeypatch):
     with pytest.raises(FileNotFoundError):
         wz.get_params("raft", allow_download=False, allow_random=False)
     wz._PARAM_CACHE.clear()
+
+
+def test_checksum_verify_and_tamper_detection(tmp_path):
+    from comfyui_propainter_nodes_tpu.utils.weights import verify_checksum
+
+    p = tmp_path / "model.pth"
+    p.write_bytes(b"weights-v1" * 1000)
+    d1 = verify_checksum(str(p))  # trust-on-first-use: records sidecar
+    assert (tmp_path / "model.pth.sha256").read_text() == d1
+    verify_checksum(str(p))  # unchanged -> ok
+
+    p.write_bytes(b"weights-v2" * 1000)  # tamper
+    import pytest
+
+    with pytest.raises(IOError):
+        verify_checksum(str(p))
