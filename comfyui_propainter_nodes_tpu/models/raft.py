@@ -116,6 +116,29 @@ def build_corr_pyramid(fmap1: jnp.ndarray, fmap2: jnp.ndarray):
     return pyramid
 
 
+def _window_lookup_einsum(corr_pad, sy, sx, fy, fx, win: int = 9):
+    """One level's (2r+1)^2 bilinear window lookup as two one-hot
+    contractions (row then column), batched over pixels.
+
+    corr_pad: [M, Hp, Wp] zero-padded maps; sy/sx [M] window starts;
+    fy/fx [M] fractional offsets. Returns [M, win, win] (dy, dx) taps.
+    """
+    m, hp, wp = corr_pad.shape
+    taps = jnp.arange(win, dtype=jnp.int32)
+    iy = jnp.arange(hp, dtype=jnp.int32)
+    pos_y = sy[:, None, None] + taps[None, :, None]
+    rw = jnp.where(
+        iy[None, None, :] == pos_y, (1.0 - fy)[:, None, None], 0.0
+    ) + jnp.where(iy[None, None, :] == pos_y + 1, fy[:, None, None], 0.0)
+    ix = jnp.arange(wp, dtype=jnp.int32)
+    pos_x = sx[:, None, None] + taps[None, :, None]
+    cw = jnp.where(
+        ix[None, None, :] == pos_x, (1.0 - fx)[:, None, None], 0.0
+    ) + jnp.where(ix[None, None, :] == pos_x + 1, fx[:, None, None], 0.0)
+    tmp = jnp.einsum("piy,pyx->pix", rw.astype(corr_pad.dtype), corr_pad)
+    return jnp.einsum("pix,pjx->pij", tmp, cw.astype(tmp.dtype))
+
+
 def lookup_corr(pyramid, coords: jnp.ndarray) -> jnp.ndarray:
     """(2r+1)^2-window bilinear lookup at every level (corr.py:29-50).
 
@@ -152,18 +175,35 @@ def lookup_corr(pyramid, coords: jnp.ndarray) -> jnp.ndarray:
     from ..ops.deform_conv import _pallas_enabled
 
     if _pallas_enabled() and len(pyramid) == CORR_LEVELS:
-        # fused DMA-pipelined window gather over all levels (XLA's gather
-        # runs the slices serially and dominated RAFT runtime)
-        from ..ops.pallas.corr_lookup import corr_window_lookup4_pallas
+        import os
 
         per = [starts_and_fracs(p, i) for i, p in enumerate(pyramid)]
-        std4 = corr_window_lookup4_pallas(
-            pyramid,
-            jnp.stack([q[0] for q in per]),
-            jnp.stack([q[1] for q in per]),
-            jnp.stack([q[2] for q in per]),
-            jnp.stack([q[3] for q in per]),
-        )  # [NHW, 4, 9(dy), 9(dx)]
+        if os.environ.get("PROPAINTER_TPU_CORR_KERNEL", "einsum") == "pallas":
+            # DMA/block-pipelined Pallas window gather (kept for strict
+            # fp32 tap arithmetic; ~3x slower than the einsum form)
+            from ..ops.pallas.corr_lookup import corr_window_lookup4_pallas
+
+            std4 = corr_window_lookup4_pallas(
+                pyramid,
+                jnp.stack([q[0] for q in per]),
+                jnp.stack([q[1] for q in per]),
+                jnp.stack([q[2] for q in per]),
+                jnp.stack([q[3] for q in per]),
+            )  # [NHW, 4, 9(dy), 9(dx)]
+        else:
+            # MXU formulation: the row/column window selection + shared
+            # bilinear weights ARE a pair of (2-nonzero-per-row) one-hot
+            # contractions — no gather at all. 3x faster than the
+            # per-pixel-DMA kernel on v5e (gather granularity is what
+            # TPUs hate; matmuls are what they love). Runs at the same
+            # default matmul precision as every other conv in the model.
+            std4 = jnp.stack(
+                [
+                    _window_lookup_einsum(p_, *q)
+                    for p_, q in zip(pyramid, per)
+                ],
+                axis=1,
+            )
         # NOTE: the reference stacks meshgrid(dy, dx) directly onto (x, y)
         # coords (corr.py:37-43), so channel (i, j) samples offset
         # (dx = d_i, dy = d_j) — transpose the natural (dy, dx) grid. The

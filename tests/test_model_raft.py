@@ -5,6 +5,7 @@ import argparse
 import numpy as np
 import pytest
 import torch
+import jax
 import jax.numpy as jnp
 
 from oracles import install_reference_path, seed_torch_model
@@ -85,3 +86,37 @@ def test_raft_bi_shapes(jax_params):
     assert fb.shape == (1, 3, 128, 160, 2)
     # forward and backward flows must differ (directionality is real)
     assert float(jnp.abs(ff - fb).max()) > 1e-3
+
+
+def test_raft_scan_matches_unrolled_iterations(torch_raft, jax_params):
+    """The 20-iteration lax.scan (production default) must equal running
+    the update step sequentially — pins the carry wiring (net, coords,
+    up_mask) and that ONLY the final iteration's upsample mask is used.
+    (Multi-iteration parity vs torch is not testable with random weights:
+    the GRU recurrence is chaotic / NaNs on both sides.)"""
+    rng = np.random.default_rng(3)
+    im1j = jnp.asarray(rng.uniform(-1, 1, (1, 64, 96, 3)).astype(np.float32))
+    im2j = jnp.asarray(rng.uniform(-1, 1, (1, 64, 96, 3)).astype(np.float32))
+    iters = 5
+
+    full = jraft.raft_forward(jax_params, im1j, im2j, iters=iters)
+
+    # unrolled reference built from the same building blocks
+    p = jax_params
+    n, h, w = 1, 64, 96
+    both = jnp.concatenate([im1j, im2j], axis=0)
+    fmaps = jraft.basic_encoder(p, "fnet", both, norm="instance")
+    pyramid = jraft.build_corr_pyramid(fmaps[:n], fmaps[n:])
+    cnet = jraft.basic_encoder(p, "cnet", im1j, norm="batch")
+    net = jnp.tanh(cnet[..., : jraft.HDIM])
+    inp = jax.nn.relu(cnet[..., jraft.HDIM :])
+    coords0 = jraft.coords_grid(n, h // 8, w // 8)
+    coords1 = coords0
+    up_mask = None
+    for _ in range(iters):
+        corr = jraft.lookup_corr(pyramid, coords1)
+        flow = coords1 - coords0
+        net, up_mask, delta = jraft._update_block(p, net, inp, corr, flow)
+        coords1 = coords1 + delta
+    ref = jraft.convex_upsample(coords1 - coords0, up_mask)
+    np.testing.assert_allclose(np.asarray(full), np.asarray(ref), atol=1e-5)

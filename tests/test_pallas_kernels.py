@@ -96,3 +96,24 @@ def test_pallas_fused4_corr_lookup_matches_slice_gather():
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(jnp.stack(refs, 1)), atol=1e-5
     )
+
+
+def test_window_lookup_einsum_matches_slice_gather():
+    from comfyui_propainter_nodes_tpu.models.raft import _window_lookup_einsum
+
+    rng = np.random.default_rng(5)
+    m, hp, wp = 300, 40, 50
+    corr = jnp.asarray(rng.standard_normal((m, hp, wp)).astype(np.float32))
+    sy = jnp.asarray(rng.integers(0, hp - 10, m).astype(np.int32))
+    sx = jnp.asarray(rng.integers(0, wp - 10, m).astype(np.int32))
+    fy = jnp.asarray(rng.uniform(0, 1, m).astype(np.float32))
+    fx = jnp.asarray(rng.uniform(0, 1, m).astype(np.float32))
+
+    win = jax.vmap(lambda mm, a, b: jax.lax.dynamic_slice(mm, (a, b), (10, 10)))(
+        corr, sy, sx
+    )
+    vy = win[:, :9, :] * (1 - fy)[:, None, None] + win[:, 1:, :] * fy[:, None, None]
+    ref = vy[:, :, :9] * (1 - fx)[:, None, None] + vy[:, :, 1:] * fx[:, None, None]
+
+    out = _window_lookup_einsum(corr, sy, sx, fy, fx)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
