@@ -41,6 +41,16 @@ DEFORM_GROUPS = 16
 # ------------------------------------------------------------- P3D blocks
 
 
+def _valid_tmask(t: int, t_valid, dtype):
+    """Mask of real frames: [1, T] for a scalar count, [B, T] for per-clip
+    [B] counts (clip-parallel chunk batching)."""
+    tv = jnp.asarray(t_valid)
+    ar = jnp.arange(t)
+    if tv.ndim == 0:
+        return (ar < tv).astype(dtype)[None]
+    return (ar[None] < tv[:, None]).astype(dtype)
+
+
 def _p3d(p: Params, pre: str, x: jnp.ndarray, stride: int, t_valid=None) -> jnp.ndarray:
     """P3DBlock (reference :162-205): (1,k,k) spatial conv + LeakyReLU,
     then (3,1,1) dilated-2 temporal conv. x: [N, T, H, W, C].
@@ -53,8 +63,8 @@ def _p3d(p: Params, pre: str, x: jnp.ndarray, stride: int, t_valid=None) -> jnp.
     )
     y = leaky_relu(y, 0.2)
     if t_valid is not None:
-        tmask = (jnp.arange(y.shape[1]) < t_valid).astype(y.dtype)
-        y = y * tmask[None, :, None, None, None]
+        tmask = _valid_tmask(y.shape[1], t_valid, y.dtype)
+        y = y * tmask[:, :, None, None, None]
     y = pconv3d(
         p, pre + ".conv2.0", y, padding=(2, 0, 0), dilation=(2, 1, 1)
     )
@@ -135,7 +145,12 @@ def _propagate_direction(
         parts.append(feat_prop)
         return jnp.concatenate(parts, axis=-1)
 
-    first_flags = jnp.arange(t) == first_index
+    fi = jnp.asarray(first_index)
+    first_flags = (
+        jnp.arange(t) == fi
+        if fi.ndim == 0
+        else jnp.arange(t)[:, None] == fi[None, :]  # [T, N] per-clip restarts
+    )
 
     def step(carry, inputs):
         prev1, prev2 = carry
@@ -143,15 +158,16 @@ def _propagate_direction(
             feat_current, extra, first = inputs
         else:
             (feat_current, first), extra = inputs, None
+        firstb = first.reshape(first.shape + (1,) * (4 - first.ndim))
         cond = jnp.concatenate([prev1, feat_current, prev2], axis=-1)
         feat_prop = _second_order_align(
             p, da, jnp.concatenate([prev1, prev2], axis=-1), cond
         )
         # the reference skips alignment entirely on the first frame
         # (recurrent_flow_completion.py:96-114: feat_prop starts at zeros)
-        feat_prop = jnp.where(first, zeros, feat_prop)
+        feat_prop = jnp.where(firstb, zeros, feat_prop)
         out = feat_prop + backbone(fuse_inputs(feat_current, extra, feat_prop))
-        new_prev2 = jnp.where(first, zeros, prev1)
+        new_prev2 = jnp.where(firstb, zeros, prev1)
         return (out, new_prev2), out
 
     xs = (
@@ -263,14 +279,26 @@ def forward_bidirect_flow(
     t = flows_f.shape[1]
     if t_valid is None:
         flip = lambda a: a[:, ::-1]
+        tv2 = None
     else:
+        tv = jnp.asarray(t_valid)
         ar = jnp.arange(t)
-        idx = jnp.where(ar < t_valid, t_valid - 1 - ar, ar)
-        flip = lambda a: jnp.take(a, idx, axis=1)
+        if tv.ndim == 0:
+            idx = jnp.where(ar < tv, tv - 1 - ar, ar)
+            flip = lambda a: jnp.take(a, idx, axis=1)
+            tv2 = tv
+        else:  # per-clip counts: flip each clip's real prefix
+            idx = jnp.where(ar[None] < tv[:, None], tv[:, None] - 1 - ar[None], ar[None])
+            flip = lambda a: jnp.take_along_axis(
+                a, idx.reshape(idx.shape + (1,) * (a.ndim - 2)), axis=1
+            )
+            tv2 = jnp.concatenate([tv, tv])
 
     batch_flows = jnp.concatenate([mf, flip(mb)], axis=0)
     batch_masks = jnp.concatenate([masks_fwd, flip(masks_bwd)], axis=0)
-    pred = flow_complete_forward(p, batch_flows, batch_masks, t_valid)
+    pred = flow_complete_forward(
+        p, batch_flows, batch_masks, tv2 if t_valid is not None else None
+    )
 
     b = flows_f.shape[0]
     pred_f = pred[:b]

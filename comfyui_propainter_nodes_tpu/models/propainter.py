@@ -24,7 +24,6 @@ import jax.numpy as jnp
 from ..ops import (
     binarize,
     deform_conv2d,
-    fb_consistency_check,
     flow_warp,
     leaky_relu,
     max_pool2d,
@@ -114,14 +113,24 @@ def _deformable_alignment(
 
 
 def _first_flags(t: int, first_index) -> jnp.ndarray:
-    """[T] bool, True at the scan step where propagation (re)starts.
+    """[T] (or [T, B]) bool, True at the scan step where propagation
+    (re)starts.
 
     Supports a traced `first_index` so padded sequences (padding at the
     scan FRONT, i.e. time-reversed end padding) restart propagation at the
     first real frame — making results for real frames bit-exact regardless
-    of padding, with one compiled program for any valid length.
+    of padding, with one compiled program for any valid length. A [B]
+    vector gives every batched window its own restart point.
     """
-    return jnp.arange(t) == first_index
+    fi = jnp.asarray(first_index)
+    if fi.ndim == 0:
+        return jnp.arange(t) == fi
+    return jnp.arange(t)[:, None] == fi[None, :]
+
+
+def _bcast_flag(first, like):
+    """Reshape a per-step flag ([] or [B]) to broadcast against [B,H,W,C]."""
+    return first.reshape(first.shape + (1,) * (like.ndim - first.ndim))
 
 
 def _align_flows(flows: jnp.ndarray) -> jnp.ndarray:
@@ -143,12 +152,21 @@ def _prop_direction_image(
     def step(carry, inputs):
         feat_prop, mask_prop = carry
         feat_current, mask_current, flow_prop, flow_check, first = inputs
-        # the consistency check warps flow_check and the mask warp samples
-        # mask_prop at the SAME coordinates (grid + flow_prop) — one fused
-        # bilinear gather halves the per-step gather indices
-        warped3 = flow_warp(
-            jnp.concatenate([flow_check, mask_prop], axis=-1), flow_prop
-        )
+        # the consistency check warps flow_check, the mask warp samples
+        # mask_prop, and the feature warp samples feat_prop — ALL at the
+        # same coordinates (grid + flow_prop). When the interpolations
+        # agree (bilinear), ONE fused gather carries every channel.
+        if interpolation == "bilinear":
+            warped = flow_warp(
+                jnp.concatenate([flow_check, mask_prop, feat_prop], axis=-1),
+                flow_prop,
+            )
+            warped3, feat_warped = warped[..., :3], warped[..., 3:]
+        else:
+            warped3 = flow_warp(
+                jnp.concatenate([flow_check, mask_prop], axis=-1), flow_prop
+            )
+            feat_warped = flow_warp(feat_prop, flow_prop, interpolation)
         flow_bw_warped = warped3[..., :2]
         mask_prop_valid = binarize(warped3[..., 2:])
         diff = flow_prop + flow_bw_warped
@@ -158,12 +176,12 @@ def _prop_direction_image(
         valid = (
             jnp.sum(diff**2, -1, keepdims=True) < 0.01 * mag + 0.5
         ).astype(flow_prop.dtype)
-        feat_warped = flow_warp(feat_prop, flow_prop, interpolation)
         union = binarize(mask_current * valid * (1 - mask_prop_valid))
         feat_prop = union * feat_warped + (1 - union) * feat_current
         mask_prop = binarize(mask_current * (1 - valid * (1 - mask_prop_valid)))
-        feat_prop = jnp.where(first, feat_current, feat_prop)
-        mask_prop = jnp.where(first, mask_current, mask_prop)
+        fb_ = _bcast_flag(first, feat_current)
+        feat_prop = jnp.where(fb_, feat_current, feat_prop)
+        mask_prop = jnp.where(fb_, mask_current, mask_prop)
         return (feat_prop, mask_prop), (feat_prop, mask_prop)
 
     carry0 = (jnp.zeros_like(x_seq[0]), jnp.zeros_like(mask_seq[0]))
@@ -202,15 +220,27 @@ def _prop_direction_feature(
 
     def step(feat_prop, inputs):
         feat_current, mask_current, flow_prop, flow_check, first = inputs
-        valid = fb_consistency_check(flow_prop, flow_check)
-        feat_warped = flow_warp(feat_prop, flow_prop)
+        # consistency check + feature warp share sample coordinates
+        # (grid + flow_prop): ONE fused gather instead of two
+        warped = flow_warp(
+            jnp.concatenate([flow_check, feat_prop], axis=-1), flow_prop
+        )
+        flow_bw_warped = warped[..., :2]
+        feat_warped = warped[..., 2:]
+        diff = flow_prop + flow_bw_warped
+        mag = jnp.sum(flow_prop**2, -1, keepdims=True) + jnp.sum(
+            flow_bw_warped**2, -1, keepdims=True
+        )
+        valid = (
+            jnp.sum(diff**2, -1, keepdims=True) < 0.01 * mag + 0.5
+        ).astype(feat_prop.dtype)
         cond = jnp.concatenate(
             [feat_current, feat_warped, flow_prop, valid, mask_current], axis=-1
         )
         feat_prop = _deformable_alignment(p, da, feat_prop, cond, flow_prop)
         # at the first (real) step the reference uses the current feature
         # directly (model/propainter.py:153-155)
-        feat_prop = jnp.where(first, feat_current, feat_prop)
+        feat_prop = jnp.where(_bcast_flag(first, feat_current), feat_current, feat_prop)
         feat_prop = refine(feat_current, mask_current, feat_prop)
         return feat_prop, feat_prop
 
@@ -317,7 +347,8 @@ def inpaint_generator_forward(
     flows_f/b:     [B, l_t-1, H, W, 2] completed flows
     masks_in:      [B, T, H, W, 1] original dilated masks
     masks_updated: [B, T, H, W, 1] masks after image propagation
-    l_t_valid / ref_valid (traced scalars or None): real counts when the
+    l_t_valid / ref_valid (traced scalars, per-clip [B] vectors, or None):
+    real counts when the
     local/reference frame blocks are padded at their ends. Callers must
     zero the masks of padded slots; padded frames' outputs are garbage
     but all real-frame outputs are exact (scan resets + attention key
@@ -370,11 +401,22 @@ def inpaint_generator_forward(
     if l_t_valid is None and ref_valid is None:
         t_valid_mask = None
     else:
-        ltv = l_t if l_t_valid is None else l_t_valid
-        rfv = (t - l_t) if ref_valid is None else ref_valid
-        t_valid_mask = jnp.concatenate(
-            [jnp.arange(l_t) < ltv, jnp.arange(t - l_t) < rfv]
-        )
+        ltv = jnp.asarray(l_t if l_t_valid is None else l_t_valid)
+        rfv = jnp.asarray((t - l_t) if ref_valid is None else ref_valid)
+        if ltv.ndim == 0 and rfv.ndim == 0:
+            t_valid_mask = jnp.concatenate(
+                [jnp.arange(l_t) < ltv, jnp.arange(t - l_t) < rfv]
+            )
+        else:  # per-batch valid counts ([B] vectors) -> [B, T] mask
+            ltv = jnp.broadcast_to(jnp.atleast_1d(ltv), (b,))
+            rfv = jnp.broadcast_to(jnp.atleast_1d(rfv), (b,))
+            t_valid_mask = jnp.concatenate(
+                [
+                    jnp.arange(l_t)[None] < ltv[:, None],
+                    jnp.arange(t - l_t)[None] < rfv[:, None],
+                ],
+                axis=1,
+            )
 
     trans_feat = soft_split(p, "ss", enc_feat.reshape(b * t, h, w, CHANNEL))
     fh, fw = trans_feat.shape[1], trans_feat.shape[2]

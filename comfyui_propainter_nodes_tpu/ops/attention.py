@@ -109,6 +109,7 @@ def sparse_window_attention(
     window_size: tuple[int, int] = (5, 9),
     pool_size: tuple[int, int] = (4, 4),
     t_valid_mask: jnp.ndarray | None = None,
+    axis_name: str | None = None,
 ) -> jnp.ndarray:
     """SparseWindowAttention.forward (sparse_transformer.py:201-393).
 
@@ -116,9 +117,15 @@ def sparse_window_attention(
     mask: [B, l_t, H, W, 1] local-frame sparsity mask (pre-pad token grid)
     t_ind: static frame subset for the masked branch (temporal dilation),
            or None for all frames.
-    t_valid_mask: [T] bool (traced ok) — keys of padded frames are masked
-           out of the all-frames branch so padded token sequences give
-           bit-exact results for real frames.
+    t_valid_mask: [T] or [B, T] bool (traced ok) — keys of padded frames
+           are masked out of the all-frames branch so padded token
+           sequences give bit-exact results for real frames.
+    axis_name: sequence parallelism (SURVEY §2.4b). Inside shard_map with
+           T sharded over `axis_name`, queries stay local and the masked
+           branch's K/V segments are all-gathered over the T shards
+           (n_head=4 makes Ulysses head-scatter a poor fit; gathered-KV
+           rides one ICI collective per segment). `mask`, `t_ind`, and
+           `t_valid_mask` must then be GLOBAL (replicated / full-T).
     """
     b, t, h, w, c = x.shape
     wh, ww = window_size
@@ -175,19 +182,25 @@ def sparse_window_attention(
     pool_k = linear(p, pre + ".key", pool_x)
     pool_v = linear(p, pre + ".value", pool_x)
 
-    def heads_of(a):  # [B,T,ph,pw,C] -> [B,1,head,T,ph*pw,ch] broadcast nW
-        a = a.reshape(b, t, p_h * p_w, n_head, ch).transpose(0, 3, 1, 2, 4)
-        return a[:, None]  # [B,1,head,T,P,ch]
+    def heads_of(a):  # [B,T,ph,pw,C] -> [B,head,T,ph*pw,ch]
+        return a.reshape(b, t, p_h * p_w, n_head, ch).transpose(0, 3, 1, 2, 4)
 
-    pool_k_b = jnp.broadcast_to(
-        heads_of(pool_k), (b, n_win, n_head, t, p_h * p_w, ch)
-    )
-    pool_v_b = jnp.broadcast_to(
-        heads_of(pool_v), (b, n_win, n_head, t, p_h * p_w, ch)
-    )
+    pool_k_h = heads_of(pool_k)
+    pool_v_h = heads_of(pool_v)
 
-    k_all = jnp.concatenate([win_k, rolled_k, pool_k_b], axis=4)
-    v_all = jnp.concatenate([win_v, rolled_v, pool_v_b], axis=4)
+    # sequence parallelism: queries stay local to this T shard; gather the
+    # key/value segments to the full T (one collective per segment)
+    if axis_name is not None:
+        ag = lambda a, ax: jax.lax.all_gather(a, axis_name, axis=ax, tiled=True)
+        win_k_g, win_v_g = ag(win_k, 3), ag(win_v, 3)
+        rolled_k_g, rolled_v_g = ag(rolled_k, 3), ag(rolled_v, 3)
+        pool_k_g, pool_v_g = ag(pool_k_h, 2), ag(pool_v_h, 2)
+        t_glob = win_k_g.shape[3]
+    else:
+        win_k_g, win_v_g = win_k, win_v
+        rolled_k_g, rolled_v_g = rolled_k, rolled_v
+        pool_k_g, pool_v_g = pool_k_h, pool_v_h
+        t_glob = t
 
     scale = 1.0 / math.sqrt(ch)
 
@@ -198,43 +211,84 @@ def sparse_window_attention(
     )
     occ = occ.reshape(b, l_t, n_win).sum(axis=1) > 0  # [B, nW]
 
-    # ---- branch-A key set: (t_ind) frames, all key kinds
-    if t_ind is not None:
-        ti = jnp.asarray(np.asarray(t_ind))
-        k_sel = k_all[:, :, :, ti]
-        v_sel = v_all[:, :, :, ti]
-    else:
-        k_sel, v_sel = k_all, v_all
-    t_sel, k_per_t = k_sel.shape[3], k_sel.shape[4]
-    if t_valid_mask is not None:
-        tv = t_valid_mask[ti] if t_ind is not None else t_valid_mask
-        key_bias = jnp.where(jnp.repeat(tv, k_per_t), 0.0, -1e9)
-    else:
-        key_bias = jnp.zeros((t_sel * k_per_t,), jnp.float32)
+    # ---- branch-A temporal subset (t_ind) + padded-frame validity
+    # (frame indices are GLOBAL-T under sequence parallelism)
+    ti = jnp.asarray(np.asarray(t_ind)) if t_ind is not None else None
+    t_sel = len(t_ind) if t_ind is not None else t_glob
+    # validity normalizes to [B, T]: scalar-per-batch padding counts give
+    # each batched window its own valid frame set
+    tv = (
+        jnp.broadcast_to(jnp.atleast_2d(t_valid_mask), (b, t_glob))
+        if t_valid_mask is not None
+        else jnp.ones((b, t_glob), jnp.bool_)
+    )
+    tv_sel = tv[:, ti] if ti is not None else tv
 
     from .deform_conv import _pallas_enabled
 
-    if _pallas_enabled():
-        # fused occupancy-sparse kernel: clean windows skip the big branch
+    if _pallas_enabled() and axis_name is None:
+        # fused occupancy-sparse kernel: clean windows skip the big
+        # branch; pooled K/V go in UNbroadcast (resident per batch row);
+        # the t_ind subset on window keys is an additive bias, rolled and
+        # pooled keys are pre-selected
         from .pallas.window_attention import window_attention_pallas
+
+        n_rolled = rolled_k.shape[4]
+        rk = rolled_k[:, :, :, ti] if ti is not None else rolled_k
+        rv = rolled_v[:, :, :, ti] if ti is not None else rolled_v
+        pk = pool_k_h[:, :, ti] if ti is not None else pool_k_h
+        pv = pool_v_h[:, :, ti] if ti is not None else pool_v_h
+
+        in_tind = np.zeros(t, np.bool_)
+        in_tind[np.asarray(t_ind) if t_ind is not None else slice(None)] = True
+        bias_w = jnp.repeat(
+            jnp.where(jnp.asarray(in_tind)[None] & tv, 0.0, -1e9),
+            wh * ww, axis=1,
+        )  # [B, T*wsz]
+        bias_sel = jnp.where(tv_sel, 0.0, -1e9)
+        bias_r = jnp.repeat(bias_sel, n_rolled, axis=1)
+        bias_p = jnp.repeat(bias_sel, p_h * p_w, axis=1)
 
         out = window_attention_pallas(
             win_q.reshape(b * n_win, n_head, t, wh * ww, ch),
-            k_sel.reshape(b * n_win, n_head, t_sel * k_per_t, ch),
-            v_sel.reshape(b * n_win, n_head, t_sel * k_per_t, ch),
             win_k.reshape(b * n_win, n_head, t, wh * ww, ch),
             win_v.reshape(b * n_win, n_head, t, wh * ww, ch),
+            rk.reshape(b * n_win, n_head, t_sel * n_rolled, ch),
+            rv.reshape(b * n_win, n_head, t_sel * n_rolled, ch),
+            pk.reshape(b, n_head, t_sel * p_h * p_w, ch),
+            pv.reshape(b, n_head, t_sel * p_h * p_w, ch),
             occ.reshape(b * n_win),
-            key_bias,
+            bias_w,
+            bias_r,
+            bias_p,
+            n_win_per_b=n_win,
         )
         out = out.reshape(b, n_win, n_head, t, wh * ww, ch).astype(x.dtype)
     else:
         # XLA fallback: both branches batched, select by occupancy
+        pool_k_b = jnp.broadcast_to(
+            pool_k_g[:, None], (b, n_win, n_head, t_glob, p_h * p_w, ch)
+        )
+        pool_v_b = jnp.broadcast_to(
+            pool_v_g[:, None], (b, n_win, n_head, t_glob, p_h * p_w, ch)
+        )
+        k_all = jnp.concatenate([win_k_g, rolled_k_g, pool_k_b], axis=4)
+        v_all = jnp.concatenate([win_v_g, rolled_v_g, pool_v_b], axis=4)
+        if ti is not None:
+            k_sel = k_all[:, :, :, ti]
+            v_sel = v_all[:, :, :, ti]
+        else:
+            k_sel, v_sel = k_all, v_all
+        k_per_t = k_sel.shape[4]
+        key_bias = jnp.where(
+            jnp.repeat(tv_sel, k_per_t, axis=1), 0.0, -1e9
+        )  # [B, Ksel]
+
         qa = win_q.reshape(b, n_win, n_head, t * wh * ww, ch)
         ka = k_sel.reshape(b, n_win, n_head, t_sel * k_per_t, ch)
         va = v_sel.reshape(b, n_win, n_head, t_sel * k_per_t, ch)
         att_a = jnp.einsum("bwhqc,bwhkc->bwhqk", qa, ka) * scale
-        att_a = att_a + key_bias.astype(att_a.dtype)
+        att_a = att_a + key_bias[:, None, None, None, :].astype(att_a.dtype)
         att_a = jax.nn.softmax(att_a, axis=-1)
         out_a = jnp.einsum("bwhqk,bwhkc->bwhqc", att_a, va)
         out_a = out_a.reshape(b, n_win, n_head, t, wh * ww, ch)
@@ -284,6 +338,7 @@ def transformer_block(
     mask: jnp.ndarray,
     t_ind: np.ndarray | None,
     t_valid_mask: jnp.ndarray | None = None,
+    axis_name: str | None = None,
 ) -> jnp.ndarray:
     """TemporalSparseTransformer (sparse_transformer.py:396-433).
 
@@ -293,7 +348,8 @@ def transformer_block(
     shortcut = x
     xn = layer_norm(p, pre + ".norm1", x)
     att = sparse_window_attention(
-        p, pre + ".attention", xn, mask, t_ind, t_valid_mask=t_valid_mask
+        p, pre + ".attention", xn, mask, t_ind, t_valid_mask=t_valid_mask,
+        axis_name=axis_name,
     )
     x = shortcut + att
     y = layer_norm(p, pre + ".norm2", x)
@@ -312,6 +368,8 @@ def transformer_stack(
     depths: int = 8,
     t_dilation: int = 2,
     t_valid_mask: jnp.ndarray | None = None,
+    axis_name: str | None = None,
+    t_total: int | None = None,
 ) -> jnp.ndarray:
     """TemporalSparseTransformerBlock (sparse_transformer.py:436-467).
 
@@ -320,8 +378,12 @@ def transformer_stack(
     `t_dilation` (:460-466). Instead of tracing/compiling 8 copies, the
     per-depth params are stacked [depths/t_dilation, t_dilation, ...] and
     scanned — one compiled group of t_dilation blocks, 4x less XLA work.
+
+    axis_name/t_total: sequence-parallel mode (inside shard_map with T
+    sharded over axis_name); t_total is the GLOBAL frame count for the
+    temporal-dilation key subsets.
     """
-    t = x.shape[1]
+    t = t_total if t_total is not None else x.shape[1]
     assert depths % t_dilation == 0
     groups = depths // t_dilation
 
@@ -348,7 +410,8 @@ def transformer_stack(
         for d in range(t_dilation):
             pd = {k: v[d] for k, v in group_params.items()}
             x = transformer_block(
-                pd, "blk", x, fold_size, mask, t_inds[d], t_valid_mask
+                pd, "blk", x, fold_size, mask, t_inds[d], t_valid_mask,
+                axis_name=axis_name,
             )
         return x, None
 

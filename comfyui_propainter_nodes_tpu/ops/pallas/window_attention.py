@@ -1,22 +1,33 @@
-"""Pallas TPU kernel: occupancy-sparse window attention.
+"""Pallas TPU kernel: occupancy-sparse window attention, fused K/V.
 
 The XLA path (ops/attention.py) computes BOTH branches of the
 reference's masked/unmasked window dichotomy for every window and
 selects by occupancy — paying the expensive all-frames branch
 (~100+ GFLOP per transformer layer at 640x360) even for windows the
 sparsity map says are clean, which is most of them for typical object
-masks.
+masks. Worse, its key tensor materializes the POOLED global tokens
+broadcast to every window: at 640x360 the pooled segment is ~80% of the
+keys and is identical across the 324 windows — gigabytes of HBM traffic
+per layer for bytes the kernel re-reads anyway.
 
-This kernel makes the sparsity real: one grid step per (window, head)
-reads the window's occupancy bit (scalar prefetch) and EITHER
+This kernel keeps the key set SEGMENTED (reference
+sparse_transformer.py:327-345 builds it as [window | rolled | pooled]):
 
-  * runs flash-style attention of the window's queries [T*45, ch]
-    against the full key set [K, ch] (K-tiled, running max/sum, no
-    materialized logits), with additive key masking for padded frames —
-    only for occupied windows; OR
+  * window keys arrive per-window (they double as the cheap branch's
+    keys; the temporal-dilation t_ind subset of the masked branch is an
+    additive -1e9 bias instead of a gather);
+  * rolled keys arrive per-window, pre-selected to the t_ind frames;
+  * pooled keys arrive ONCE per (batch, head) — the grid iterates
+    windows fastest, so the block stays VMEM-resident across all the
+    windows of a batch row instead of being re-materialized per window.
 
-  * runs the cheap per-frame within-window attention [T, 45, 45]
-    (reference sparse_transformer.py:366-380) for clean windows.
+Per grid step (head, window) the occupancy bit (scalar prefetch) picks:
+
+  * flash-style attention of the window's queries [T*45, ch] against
+    the three segments (tiled, running max/sum, no materialized
+    logits) — only for occupied windows; OR
+  * the cheap per-frame within-window attention (reference
+    sparse_transformer.py:366-380) for clean windows.
 
 Semantics identical to the XLA both-branch+select formulation.
 """
@@ -36,22 +47,26 @@ NEG = -1e9
 
 def _kernel(
     occ_ref,      # [nW] int32 (scalar prefetch)
-    q_ref,        # [1, 1, QT, ch]   QT = T*45
-    ka_ref,       # [1, 1, K, ch]    branch-A keys (t_ind-selected, concat)
-    va_ref,       # [1, 1, K, ch]
-    kb_ref,       # [1, 1, QT, ch]   branch-B keys: win keys per frame
-    vb_ref,       # [1, 1, QT, ch]
-    kvalid_ref,   # [1, K] float32 additive bias (0 or NEG) for padded frames
-    out_ref,      # [QT, ch] float32
+    q_ref,        # [1, 1, QT, ch]    QT = T*wsz
+    wk_ref,       # [1, 1, QT, ch]    window keys, all T
+    wv_ref,       # [1, 1, QT, ch]
+    rk_ref,       # [1, 1, RL, ch]    rolled keys (t_ind-selected)
+    rv_ref,       # [1, 1, RL, ch]
+    pk_ref,       # [1, 1, PL, ch]    pooled keys (t_ind-selected, per batch)
+    pv_ref,       # [1, 1, PL, ch]
+    bw_ref,       # [1, 1, QT] f32 additive bias for win keys in branch A
+    br_ref,       # [1, 1, RL]
+    bp_ref,       # [1, 1, PL]
+    out_ref,      # [1, 1, QT, ch] f32
     *,
     qt: int,
-    kk: int,
+    rl: int,
+    pl_len: int,
     ch: int,
-    t: int,
     wsz: int,
     k_tile: int,
 ):
-    iw = pl.program_id(0)
+    iw = pl.program_id(1)
     occupied = occ_ref[iw] > 0
     scale = 1.0 / math.sqrt(ch)
 
@@ -61,18 +76,18 @@ def _kernel(
         m = jnp.full((qt, 1), NEG, jnp.float32)
         l = jnp.zeros((qt, 1), jnp.float32)
         acc = jnp.zeros((qt, ch), jnp.float32)
-        n_tiles = kk // k_tile
-        for i in range(n_tiles):
-            ks = ka_ref[0, 0, i * k_tile : (i + 1) * k_tile, :].astype(jnp.float32)
-            vs = va_ref[0, 0, i * k_tile : (i + 1) * k_tile, :].astype(jnp.float32)
-            bias = kvalid_ref[0, i * k_tile : (i + 1) * k_tile]
+
+        def tile(kref, vref, bref, s0, sl, m, l, acc):
+            ks = kref[0, 0, s0 : s0 + sl, :].astype(jnp.float32)
+            vs = vref[0, 0, s0 : s0 + sl, :].astype(jnp.float32)
+            bias = bref[0, 0, s0 : s0 + sl]
             s = (
                 jax.lax.dot_general(
                     q, ks, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
                 + bias[None, :]
-            )  # [QT, k_tile]
+            )  # [QT, sl]
             m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
             alpha = jnp.exp(m - m_new)
             p = jnp.exp(s - m_new)
@@ -81,16 +96,25 @@ def _kernel(
                 p, vs, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            m = m_new
+            return m_new, l, acc
+
+        for kref, vref, bref, seg_len in (
+            (wk_ref, wv_ref, bw_ref, qt),
+            (rk_ref, rv_ref, br_ref, rl),
+            (pk_ref, pv_ref, bp_ref, pl_len),
+        ):
+            for s0 in range(0, seg_len, k_tile):
+                sl = min(k_tile, seg_len - s0)
+                m, l, acc = tile(kref, vref, bref, s0, sl, m, l, acc)
         out_ref[0, 0] = acc / l
 
     @pl.when(jnp.logical_not(occupied))
     def _():
         # per-frame within-window attention: queries of frame t attend the
-        # 45 window keys of the SAME frame only
+        # wsz window keys of the SAME frame only
         qb = q_ref[0, 0].astype(jnp.float32) * scale
-        kb = kb_ref[0, 0].astype(jnp.float32)
-        vb = vb_ref[0, 0].astype(jnp.float32)
+        kb = wk_ref[0, 0].astype(jnp.float32)
+        vb = wv_ref[0, 0].astype(jnp.float32)
         s_full = jax.lax.dot_general(
             qb, kb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # [QT, QT]
@@ -103,58 +127,73 @@ def _kernel(
         )
 
 
-@functools.partial(jax.jit, static_argnames=("k_tile",))
+@functools.partial(jax.jit, static_argnames=("n_win_per_b", "k_tile"))
 def window_attention_pallas(
-    win_q: jnp.ndarray,   # [nW, head, T, 45, ch]
-    k_sel: jnp.ndarray,   # [nW, head, Ksel, ch]  (t_ind-selected, flattened)
-    v_sel: jnp.ndarray,
-    win_k: jnp.ndarray,   # [nW, head, T, 45, ch]
+    win_q: jnp.ndarray,     # [W, head, T, wsz, ch]   W = B * n_win_per_b
+    win_k: jnp.ndarray,     # [W, head, T, wsz, ch]
     win_v: jnp.ndarray,
-    occ: jnp.ndarray,     # [nW] bool/int
-    key_bias: jnp.ndarray,  # [Ksel] float32 (0 or -1e9)
+    rolled_k: jnp.ndarray,  # [W, head, RL, ch]  (t_ind-selected, flattened)
+    rolled_v: jnp.ndarray,
+    pool_k: jnp.ndarray,    # [B, head, PL, ch]  (t_ind-selected, UNbroadcast)
+    pool_v: jnp.ndarray,
+    occ: jnp.ndarray,       # [W] bool/int
+    bias_w: jnp.ndarray,    # [B, T*wsz] f32 branch-A bias on window keys
+    bias_r: jnp.ndarray,    # [B, RL] f32
+    bias_p: jnp.ndarray,    # [B, PL] f32
+    *,
+    n_win_per_b: int,
     k_tile: int = 512,
 ) -> jnp.ndarray:
-    """Returns [nW, head, T, 45, ch] float32."""
+    """Returns [W, head, T, wsz, ch] float32."""
     n_win, n_head, t, wsz, ch = win_q.shape
     qt = t * wsz
-    kk = k_sel.shape[2]
-    kk_pad = -(-kk // k_tile) * k_tile
-    if kk_pad != kk:
-        padk = ((0, 0), (0, 0), (0, kk_pad - kk), (0, 0))
-        k_sel = jnp.pad(k_sel, padk)
-        v_sel = jnp.pad(v_sel, padk)
-        key_bias = jnp.pad(key_bias, (0, kk_pad - kk), constant_values=NEG)
+    rl = rolled_k.shape[2]
+    pl_len = pool_k.shape[2]
 
     q2 = win_q.reshape(n_win, n_head, qt, ch)
-    kb2 = win_k.reshape(n_win, n_head, qt, ch)
-    vb2 = win_v.reshape(n_win, n_head, qt, ch)
+    wk2 = win_k.reshape(n_win, n_head, qt, ch)
+    wv2 = win_v.reshape(n_win, n_head, qt, ch)
     occ_i = occ.astype(jnp.int32)
-    bias2 = key_bias.astype(jnp.float32)[None, :]
 
     kern = functools.partial(
-        _kernel, qt=qt, kk=kk_pad, ch=ch, t=t, wsz=wsz, k_tile=k_tile
+        _kernel, qt=qt, rl=rl, pl_len=pl_len, ch=ch, wsz=wsz, k_tile=k_tile
     )
+    # windows iterate FASTEST (last grid dim) so the pooled block —
+    # indexed by (batch, head) only — stays resident across a batch row
+    per_win = lambda h, w, occ_: (w, h, 0, 0)
+    shared = lambda h, w, occ_: (w // n_win_per_b, h, 0, 0)
+    bias1d = lambda h, w, occ_: (w // n_win_per_b, 0, 0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_win, n_head),
+        grid=(n_head, n_win),
         in_specs=[
-            pl.BlockSpec((1, 1, qt, ch), lambda i, j, occ_: (i, j, 0, 0)),
-            pl.BlockSpec((1, 1, kk_pad, ch), lambda i, j, occ_: (i, j, 0, 0)),
-            pl.BlockSpec((1, 1, kk_pad, ch), lambda i, j, occ_: (i, j, 0, 0)),
-            pl.BlockSpec((1, 1, qt, ch), lambda i, j, occ_: (i, j, 0, 0)),
-            pl.BlockSpec((1, 1, qt, ch), lambda i, j, occ_: (i, j, 0, 0)),
-            pl.BlockSpec((1, kk_pad), lambda i, j, occ_: (0, 0)),
+            pl.BlockSpec((1, 1, qt, ch), per_win),
+            pl.BlockSpec((1, 1, qt, ch), per_win),
+            pl.BlockSpec((1, 1, qt, ch), per_win),
+            pl.BlockSpec((1, 1, rl, ch), per_win),
+            pl.BlockSpec((1, 1, rl, ch), per_win),
+            pl.BlockSpec((1, 1, pl_len, ch), shared),
+            pl.BlockSpec((1, 1, pl_len, ch), shared),
+            pl.BlockSpec((1, 1, qt), bias1d),
+            pl.BlockSpec((1, 1, rl), bias1d),
+            pl.BlockSpec((1, 1, pl_len), bias1d),
         ],
-        out_specs=pl.BlockSpec((1, 1, qt, ch), lambda i, j, occ_: (i, j, 0, 0)),
+        out_specs=pl.BlockSpec((1, 1, qt, ch), per_win),
     )
+    kk = qt + rl + pl_len
     out = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_win, n_head, qt, ch), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=4 * n_win * n_head * qt * kk_pad * ch,
-            bytes_accessed=n_win * n_head * (qt + 2 * kk_pad) * ch * 2,
-            transcendentals=n_win * n_head * qt * kk_pad,
+            flops=4 * n_win * n_head * qt * kk * ch,
+            bytes_accessed=n_win * n_head * (2 * qt + 2 * rl) * ch * 4,
+            transcendentals=n_win * n_head * qt * kk,
         ),
-    )(occ_i, q2, k_sel, v_sel, kb2, vb2, bias2)
+    )(
+        occ_i, q2, wk2, wv2, rolled_k, rolled_v, pool_k, pool_v,
+        bias_w.astype(jnp.float32)[:, None],
+        bias_r.astype(jnp.float32)[:, None],
+        bias_p.astype(jnp.float32)[:, None],
+    )
     return out.reshape(n_win, n_head, t, wsz, ch)
