@@ -96,6 +96,70 @@ class Pipeline:
         )
         self.jits = JitCache()
 
+    # --------------------------------------------------- clip parallelism
+
+    def _clip_parallel(self) -> bool:
+        """Batch the reference's sequential chunk loops (SURVEY §2.4a:
+        propainter_inference.py:75-93,115-144,175-212) over a leading
+        chunk axis sharded on the mesh "data" axis. On by default with a
+        multi-device mesh; PROPAINTER_TPU_CLIP_PARALLEL=1 forces it
+        single-device (fewer dispatches, more memory), =0 disables."""
+        env = os.environ.get("PROPAINTER_TPU_CLIP_PARALLEL")
+        if env is not None:
+            return env == "1"
+        if self.mesh is None:
+            return False
+        from ..parallel.mesh import DATA_AXIS
+
+        return self.mesh.shape[DATA_AXIS] > 1
+
+    def _dp(self) -> int:
+        if self.mesh is None:
+            return 1
+        from ..parallel.mesh import DATA_AXIS
+
+        return self.mesh.shape[DATA_AXIS]
+
+    def _pad_chunks(self, arrays: tuple):
+        """Pad the leading (chunk) axis to a multiple of dp by repeating
+        the last chunk, and place on the mesh data axis."""
+        dp = self._dp()
+        c = arrays[0].shape[0]
+        n_pad = (-c) % dp
+        if n_pad:
+            arrays = tuple(
+                jnp.concatenate([a, jnp.repeat(a[-1:], n_pad, axis=0)])
+                for a in arrays
+            )
+        if self.mesh is not None and dp > 1:
+            from ..parallel.mesh import DATA_AXIS
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sh = NamedSharding(self.mesh, P(DATA_AXIS))
+            arrays = tuple(jax.device_put(a, sh) for a in arrays)
+        return arrays
+
+    def _chunk_mapped(self, fn, n_batched: int, n_rep: int = 1):
+        """Wrap a chunk program for clip-parallel execution: with a
+        multi-device mesh the chunk axis runs under shard_map (each device
+        executes the WHOLE per-chunk program — Pallas kernels included —
+        on its local chunks; no collectives are needed, chunks are
+        independent); single-device it is just the batched program.
+        The first `n_rep` args (params) replicate; the next `n_batched`
+        args carry the chunk axis."""
+        if self.mesh is None or self._dp() <= 1:
+            return fn
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+        from ..parallel.mesh import DATA_AXIS
+
+        spec = P(DATA_AXIS)
+        in_specs = (P(),) * n_rep + (spec,) * n_batched
+        return shard_map(
+            fn, mesh=self.mesh, in_specs=in_specs, out_specs=spec,
+            check_vma=False,
+        )
+
     # ------------------------------------------------------------- stage 1
 
     def compute_flow(self, frames: jnp.ndarray):
@@ -115,19 +179,54 @@ class Pipeline:
             fn = self.jits.get(
                 "raft", (cfg.raft_iter, t) + frames.shape[2:4], build
             )
-            with stage_timer("compute_flow"):
-                return fn(self.raft_params, frames)
+            with stage_timer("compute_flow") as tm:
+                return tm.set(fn(self.raft_params, frames))
 
         # every chunk padded to clip+1 frames (repeat last) -> ONE compile;
         # flow pairs are independent, garbage pairs are sliced off
         chunk_len = clip + 1
+        bounds = []
+        for c in range(0, t, clip):
+            end_f = min(t, c + clip)
+            s = c if c == 0 else c - 1
+            bounds.append((s, end_f))
+
+        if self._clip_parallel() and len(bounds) > 1:
+            # clip-parallel: chunks batch on a leading axis sharded over
+            # the mesh "data" axis (the reference's sequential loop,
+            # propainter_inference.py:75-93, is embarrassingly parallel)
+            chunks = []
+            for s, e in bounds:
+                ck = frames[0, s:e]
+                if e - s < chunk_len:
+                    ck = jnp.concatenate(
+                        [ck, jnp.repeat(ck[-1:], chunk_len - (e - s), axis=0)]
+                    )
+                chunks.append(ck)
+            (batch,) = self._pad_chunks((jnp.stack(chunks),))
+            fn = self.jits.get(
+                "raft_cp",
+                (cfg.raft_iter, chunk_len, batch.shape[0]) + frames.shape[2:4],
+                lambda: self._chunk_mapped(build(), n_batched=1),
+            )
+            with stage_timer("compute_flow") as tm:
+                ff, fb = tm.set(fn(self.raft_params, batch))
+            flows_f = [
+                ff[ci : ci + 1, : e - s - 1] for ci, (s, e) in enumerate(bounds)
+            ]
+            flows_b = [
+                fb[ci : ci + 1, : e - s - 1] for ci, (s, e) in enumerate(bounds)
+            ]
+            return (
+                jnp.concatenate(flows_f, axis=1),
+                jnp.concatenate(flows_b, axis=1),
+            )
+
         fn = self.jits.get(
             "raft", (cfg.raft_iter, chunk_len) + frames.shape[2:4], build
         )
         flows_f, flows_b = [], []
-        for c in range(0, t, clip):
-            end_f = min(t, c + clip)
-            s = c if c == 0 else c - 1
+        for s, end_f in bounds:
             n_real = end_f - s
             chunk = frames[:, s:end_f]
             if n_real < chunk_len:
@@ -135,8 +234,8 @@ class Pipeline:
                     chunk[:, -1:], chunk_len - n_real, axis=1
                 )
                 chunk = jnp.concatenate([chunk, reps], axis=1)
-            with stage_timer("compute_flow"):
-                ff, fb = fn(self.raft_params, chunk)
+            with stage_timer("compute_flow") as tm:
+                ff, fb = tm.set(fn(self.raft_params, chunk))
             flows_f.append(ff[:, : n_real - 1])
             flows_b.append(fb[:, : n_real - 1])
         return (
@@ -146,18 +245,20 @@ class Pipeline:
 
     # ------------------------------------------------------------- stage 2
 
+    @staticmethod
+    def _complete_build():
+        def f(prm, ff, fb, mk, t_valid):
+            pf, pb = fc.forward_bidirect_flow(prm, ff, fb, mk, t_valid)
+            return fc.combine_flow(ff, fb, pf, pb, mk)
+
+        return f
+
     def complete_flow_chunk(self, ff, fb, mk, t_real, t_static):
         """One flow-completion chunk, zero-padded to the static length.
         Padding equivalence (scan resets + temporal-conv re-zeroing) makes
         real outputs exact -> ONE compile per config."""
         dt = self.cdtype
-
-        def build():
-            def f(prm, ff, fb, mk, t_valid):
-                pf, pb = fc.forward_bidirect_flow(prm, ff, fb, mk, t_valid)
-                return fc.combine_flow(ff, fb, pf, pb, mk)
-
-            return f
+        build = self._complete_build
 
         n_pad = t_static - t_real
         if n_pad:
@@ -166,14 +267,14 @@ class Pipeline:
             fb = jnp.pad(fb, padf)
             mk = jnp.pad(mk, padf)
         fn = self.jits.get("flow_complete", ff.shape[1:], build)
-        with stage_timer("complete_flow"):
-            of, ob = fn(
+        with stage_timer("complete_flow") as tm:
+            of, ob = tm.set(fn(
                 self.flow_params,
                 ff.astype(dt),
                 fb.astype(dt),
                 mk.astype(dt),
                 jnp.asarray(t_real),
-            )
+            ))
         return of[:, :t_real], ob[:, :t_real]
 
     def complete_flow(self, flows, flow_masks):
@@ -193,12 +294,54 @@ class Pipeline:
 
         pad_len = 5
         chunk_static = sub + 2 * pad_len
-        out_f, out_b = [], []
+        bounds = []
         for f in range(0, flow_length, sub):
             s_f = max(0, f - pad_len)
             e_f = min(flow_length, f + sub + pad_len)
-            pad_len_s = f - s_f
-            pad_len_e = e_f - min(flow_length, f + sub)
+            bounds.append((s_f, e_f, f - s_f, e_f - min(flow_length, f + sub)))
+
+        if self._clip_parallel() and len(bounds) > 1:
+            def pad_t(a, target):
+                return jnp.pad(
+                    a, ((0, 0), (0, target - a.shape[1])) + ((0, 0),) * 3
+                )
+
+            ffs = jnp.concatenate(
+                [pad_t(flows_f[:, s:e], chunk_static) for s, e, _, _ in bounds]
+            )
+            fbs = jnp.concatenate(
+                [pad_t(flows_b[:, s:e], chunk_static) for s, e, _, _ in bounds]
+            )
+            mks = jnp.concatenate(
+                [
+                    pad_t(flow_masks[:, s : e + 1], chunk_static + 1)
+                    for s, e, _, _ in bounds
+                ]
+            )
+            tvs = jnp.asarray([e - s for s, e, _, _ in bounds])
+            ffs, fbs, mks, tvs = self._pad_chunks((ffs, fbs, mks, tvs))
+            dt = self.cdtype
+            fn = self.jits.get(
+                "flow_complete_cp",
+                (ffs.shape[0],) + ffs.shape[1:],
+                lambda: self._chunk_mapped(
+                    self._complete_build(), n_batched=4
+                ),
+            )
+            with stage_timer("complete_flow") as tm:
+                of, ob = tm.set(
+                    fn(self.flow_params, ffs.astype(dt), fbs.astype(dt),
+                       mks.astype(dt), tvs)
+                )
+            out_f, out_b = [], []
+            for ci, (s_f, e_f, ps, pe) in enumerate(bounds):
+                end = e_f - s_f - pe
+                out_f.append(of[ci : ci + 1, ps:end])
+                out_b.append(ob[ci : ci + 1, ps:end])
+            return jnp.concatenate(out_f, axis=1), jnp.concatenate(out_b, axis=1)
+
+        out_f, out_b = [], []
+        for s_f, e_f, pad_len_s, pad_len_e in bounds:
             of, ob = run(
                 flows_f[:, s_f:e_f],
                 flows_b[:, s_f:e_f],
@@ -213,6 +356,18 @@ class Pipeline:
 
     # ------------------------------------------------------------- stage 3
 
+    @staticmethod
+    def _imgprop_build():
+        def f(fr, mk, ff, fb, t_valid):
+            masked = fr * (1 - mk)
+            prop, upd_mask = pp.bidirectional_propagation_image(
+                masked, ff, fb, mk, "nearest", t_valid=t_valid
+            )
+            updated = fr * (1 - mk) + prop * mk
+            return updated, upd_mask
+
+        return f
+
     def image_prop_chunk(self, fr, mk, ff, fb, t_real, t_static):
         """One image-propagation chunk, zero-padded to the static length."""
         dt = self.cdtype
@@ -220,17 +375,7 @@ class Pipeline:
         mk = mk.astype(dt)
         ff = ff.astype(dt)
         fb = fb.astype(dt)
-
-        def build():
-            def f(fr, mk, ff, fb, t_valid):
-                masked = fr * (1 - mk)
-                prop, upd_mask = pp.bidirectional_propagation_image(
-                    masked, ff, fb, mk, "nearest", t_valid=t_valid
-                )
-                updated = fr * (1 - mk) + prop * mk
-                return updated, upd_mask
-
-            return f
+        build = self._imgprop_build
 
         n_pad = t_static - t_real
         if n_pad:
@@ -240,8 +385,8 @@ class Pipeline:
             ff = jnp.pad(ff, padf)
             fb = jnp.pad(fb, padf)
         fn = self.jits.get("img_prop", fr.shape[1:], build)
-        with stage_timer("image_propagation"):
-            uf, um = fn(fr, mk, ff, fb, jnp.asarray(t_real))
+        with stage_timer("image_propagation") as tm:
+            uf, um = tm.set(fn(fr, mk, ff, fb, jnp.asarray(t_real)))
         return uf[:, :t_real], um[:, :t_real]
 
     def image_propagation(self, frames, masks_dilated, pred_flows):
@@ -265,12 +410,53 @@ class Pipeline:
 
         pad_len = 10
         chunk_static = sub + 2 * pad_len
-        out_frames, out_masks = [], []
+        bounds = []
         for f in range(0, t, sub):
             s_f = max(0, f - pad_len)
             e_f = min(t, f + sub + pad_len)
-            pad_len_s = f - s_f
-            pad_len_e = e_f - min(t, f + sub)
+            bounds.append((s_f, e_f, f - s_f, e_f - min(t, f + sub)))
+
+        if self._clip_parallel() and len(bounds) > 1:
+            def pad_t(a, target):
+                return jnp.pad(
+                    a, ((0, 0), (0, target - a.shape[1])) + ((0, 0),) * 3
+                )
+
+            frs = jnp.concatenate(
+                [pad_t(frames[:, s:e], chunk_static) for s, e, _, _ in bounds]
+            )
+            mks = jnp.concatenate(
+                [pad_t(masks_dilated[:, s:e], chunk_static) for s, e, _, _ in bounds]
+            )
+            ffs = jnp.concatenate(
+                [pad_t(flows_f[:, s : e - 1], chunk_static - 1) for s, e, _, _ in bounds]
+            )
+            fbs = jnp.concatenate(
+                [pad_t(flows_b[:, s : e - 1], chunk_static - 1) for s, e, _, _ in bounds]
+            )
+            tvs = jnp.asarray([e - s for s, e, _, _ in bounds])
+            frs, mks, ffs, fbs, tvs = self._pad_chunks((frs, mks, ffs, fbs, tvs))
+            fn = self.jits.get(
+                "img_prop_cp",
+                (frs.shape[0],) + frs.shape[1:],
+                lambda: self._chunk_mapped(
+                    self._imgprop_build(), n_batched=5, n_rep=0
+                ),
+            )
+            with stage_timer("image_propagation") as tm:
+                uf, um = tm.set(fn(frs, mks, ffs, fbs, tvs))
+            out_frames, out_masks = [], []
+            for ci, (s_f, e_f, ps, pe) in enumerate(bounds):
+                end = e_f - s_f - pe
+                out_frames.append(uf[ci : ci + 1, ps:end])
+                out_masks.append(um[ci : ci + 1, ps:end])
+            return (
+                jnp.concatenate(out_frames, axis=1),
+                jnp.concatenate(out_masks, axis=1),
+            )
+
+        out_frames, out_masks = [], []
+        for s_f, e_f, pad_len_s, pad_len_e in bounds:
             uf, um = run(
                 frames[:, s_f:e_f],
                 masks_dilated[:, s_f:e_f],
@@ -292,7 +478,10 @@ class Pipeline:
     def window_predict_fn(self, l_t_max: int, ref_max: int, hw: tuple):
         """Jitted BATCHED window prediction: model forward + uint8
         composite against the original frames (no blending — that part is
-        sequential and lives in blend_scan_fn)."""
+        sequential and lives in blend_scan_fn). With a multi-device mesh
+        the window batch runs under shard_map over the "data" axis (each
+        device runs the whole forward — Pallas kernels included — on its
+        local windows)."""
 
         def build():
             def f(prm, sel_frames, sel_masks, sel_upd, ff, fb, orig_slices,
@@ -308,7 +497,7 @@ class Pipeline:
                     pred_byte * binary + orig_slices * (1.0 - binary)
                 )
 
-            return f
+            return self._chunk_mapped(f, n_batched=8, n_rep=1)
 
         return lambda prm, sf, sm, su, ff, fb, os_, lt, rf: self.jits.get(
             "window_predict",
@@ -439,30 +628,24 @@ class Pipeline:
 
         # ---- Window predictions are independent of each other (only the
         # uint8 blend chain is sequential, propainter_inference.py:294-307),
-        # so run the model BATCHED over groups of same-shape windows (big
-        # MXU batches, few dispatches), then apply the exact sequential
-        # blend with one lax.scan over window outputs.
+        # so run the model BATCHED over fixed-size groups (big MXU batches,
+        # few dispatches). Windows with different (l_t, n_ref) share one
+        # compiled shape: valid counts are per-window [G] vectors (scan
+        # restarts + attention key masks make padded slots inert), and the
+        # last group pads with repeats of its final window.
         group_size = int(os.environ.get("PROPAINTER_TPU_WINDOW_BATCH", "4"))
+        # with a data-parallel mesh every group must split evenly over the
+        # devices, so the shard_map'd predict always engages
+        group_size = -(-group_size // self._dp()) * self._dp()
         predict = self.window_predict_fn(l_t_max, ref_max, updated_frames.shape[2:4])
 
-        # group consecutive windows with identical (l_t, n_ref)
-        groups: list[list[int]] = []
-        for wi, (nids, rids) in enumerate(windows):
-            sig = (len(nids), len(rids))
-            if (
-                groups
-                and len(groups[-1]) < group_size
-                and (len(windows[groups[-1][0]][0]), len(windows[groups[-1][0]][1]))
-                == sig
-            ):
-                groups[-1].append(wi)
-            else:
-                groups.append([wi])
-
-        imgs_per_window: list = [None] * len(windows)
-        for grp in groups:
-            sels, valids, n0s = [], [], []
-            for wi in grp:
+        n_windows = len(windows)
+        imgs_per_window: list = [None] * n_windows
+        for g0 in range(0, n_windows, group_size):
+            grp = list(range(g0, min(n_windows, g0 + group_size)))
+            padded = grp + [grp[-1]] * (group_size - len(grp))
+            sels, valids, n0s, lts, refs = [], [], [], [], []
+            for wi in padded:
                 nids, rids = windows[wi]
                 l_t, n_ref = len(nids), len(rids)
                 sels.append(
@@ -473,7 +656,8 @@ class Pipeline:
                     + [1.0] * n_ref + [0.0] * (ref_max - n_ref)
                 )
                 n0s.append(nids[0])
-            l_t, n_ref = len(windows[grp[0]][0]), len(windows[grp[0]][1])
+                lts.append(l_t)
+                refs.append(n_ref)
             sel_idx = jnp.asarray(sels)  # [G, T_sel]
             valid = jnp.asarray(valids, updated_masks.dtype)[:, :, None, None, None]
             n0_arr = jnp.asarray(n0s)
@@ -499,11 +683,11 @@ class Pipeline:
                         (sel_frames, sel_masks, sel_upd, ff, fb, orig_slices),
                     )
                 )
-            with stage_timer("feature_propagation"):
-                imgs = predict(
+            with stage_timer("feature_propagation") as tm:
+                imgs = tm.set(predict(
                     self.inpaint_params, sel_frames, sel_masks, sel_upd,
-                    ff, fb, orig_slices, jnp.asarray(l_t), jnp.asarray(n_ref),
-                )
+                    ff, fb, orig_slices, jnp.asarray(lts), jnp.asarray(refs),
+                ))
             for gi, wi in enumerate(grp):
                 imgs_per_window[wi] = imgs[gi]
 
@@ -519,13 +703,13 @@ class Pipeline:
                 visited[i] = True
 
         blend_fn = self.blend_scan_fn(l_t_max, updated_frames.shape[2:4])
-        with stage_timer("feature_propagation"):
-            composed = blend_fn(
+        with stage_timer("blend") as tm:
+            composed = tm.set(blend_fn(
                 composed,
                 jnp.stack(imgs_per_window),
                 jnp.asarray(n0_list),
                 jnp.asarray(blends, jnp.float32),
-            )
+            ))
         return composed[:t]
 
     # ------------------------------------------------------------ full run

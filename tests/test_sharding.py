@@ -109,3 +109,76 @@ def test_sharded_window_inference_matches_unsharded():
     mesh = make_mesh(4, model_parallel=1)  # dp=4 over window batches
     sharded = Pipeline(*params, cfg, mesh=mesh).process(frames, masks, masks, orig)
     np.testing.assert_array_equal(np.asarray(base), np.asarray(sharded))
+
+
+def test_clip_parallel_chunked_pipeline_matches_unsharded():
+    """Stages 1-3 chunk loops batched + shard_map'd over the mesh data
+    axis (SURVEY §2.4a) must give the identical video."""
+    import os
+
+    os.environ["PROPAINTER_TPU_WINDOW_BATCH"] = "4"
+    from comfyui_propainter_nodes_tpu.config import PipelineConfig
+    from comfyui_propainter_nodes_tpu.pipeline.stages import Pipeline
+    from comfyui_propainter_nodes_tpu.utils import weights as wz
+
+    t, h, w = 16, 48, 64
+    rng = np.random.default_rng(1)
+    frames = jnp.asarray(rng.uniform(-1, 1, (1, t, h, w, 3)).astype(np.float32))
+    masks = jnp.zeros((1, t, h, w, 1)).at[:, :, 16:32, 20:44].set(1.0)
+    orig = jnp.asarray(rng.uniform(0, 255, (t, h, w, 3)).astype(np.float32))
+
+    # subvideo_length=6 forces flow-completion AND image-prop chunking;
+    # RAFT chunks too (t=16 > clip=12)
+    cfg = PipelineConfig(
+        ref_stride=4, neighbor_length=4, subvideo_length=6, raft_iter=1,
+        fp16="disable", process_size=(w, h),
+    )
+    params = [
+        wz.get_params(m, allow_random=True)
+        for m in ("raft", "flow_completion", "inpaint_generator")
+    ]
+    base = Pipeline(*params, cfg).process(frames, masks, masks, orig)
+
+    mesh = make_mesh(4, model_parallel=1)
+    pipe = Pipeline(*params, cfg, mesh=mesh)
+    assert pipe._clip_parallel()
+    sharded = pipe.process(frames, masks, masks, orig)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(sharded))
+
+
+def test_sequence_parallel_transformer_matches_unsharded():
+    """T-sharded transformer (all-gather KV, SURVEY §2.4b) == single
+    device, including occupied windows, temporal dilation, and a padded
+    (invalid) frame."""
+    from comfyui_propainter_nodes_tpu.ops.attention import transformer_stack
+    from comfyui_propainter_nodes_tpu.parallel.sequence import (
+        sequence_parallel_transformer,
+    )
+    from comfyui_propainter_nodes_tpu.utils.weights import random_params
+
+    rng = np.random.default_rng(7)
+    b, t, fh, fw, c = 1, 8, 10, 18, 512
+    l_t, h4, w4 = 4, 28, 52  # fold_size consistent with the token grid:
+    # fh = (h4 + 2*3 - 7)//3 + 1 = 10, fw = (w4 + 2*3 - 7)//3 + 1 = 18
+    full = random_params("inpaint_generator")
+    p = {
+        k: jnp.asarray(v)
+        for k, v in full.items()
+        if k.startswith("transformers.")
+    }
+    tokens = jnp.asarray(
+        rng.standard_normal((b, t, fh, fw, c)).astype(np.float32) * 0.1
+    )
+    mask = jnp.zeros((b, l_t, fh, fw, 1)).at[:, :, 2:5, 3:10].set(1.0)
+    tv = jnp.asarray([True] * 7 + [False])  # last frame is padding
+
+    ref = transformer_stack(
+        p, "transformers", tokens, (h4, w4), mask, t_valid_mask=tv
+    )
+    mesh = make_mesh(4, model_parallel=4)  # 4-way T shards
+    out = sequence_parallel_transformer(
+        p, "transformers", tokens, (h4, w4), mask, mesh, t_valid_mask=tv
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4
+    )
