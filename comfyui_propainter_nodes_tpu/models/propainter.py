@@ -359,9 +359,13 @@ def inpaint_generator_forward(
     b, t, ori_h, ori_w, _ = masked_frames.shape
     h, w = ori_h // 4, ori_w // 4
 
+    # sharding hook: under parallel.spatial.spatial_sharding the H axis
+    # stays sharded through the forward (no-ops otherwise)
+    from ..parallel.spatial import constrain_h
+
     enc_in = jnp.concatenate([masked_frames, masks_in, masks_updated], axis=-1)
-    enc_feat = encoder(p, enc_in.reshape(b * t, ori_h, ori_w, 5))
-    enc_feat = enc_feat.reshape(b, t, h, w, CHANNEL)
+    enc_feat = encoder(p, constrain_h(enc_in.reshape(b * t, ori_h, ori_w, 5), 1))
+    enc_feat = constrain_h(enc_feat.reshape(b, t, h, w, CHANNEL), 2)
     local_feat, ref_feat = enc_feat[:, :l_t], enc_feat[:, l_t:]
 
     def ds_flow(f):
@@ -396,7 +400,7 @@ def inpaint_generator_forward(
     local_feat = bidirectional_propagation_feature(
         p, local_feat, ds_flows_f, ds_flows_b, prop_mask_in, t_valid=l_t_valid
     )
-    enc_feat = jnp.concatenate([local_feat, ref_feat], axis=1)
+    enc_feat = constrain_h(jnp.concatenate([local_feat, ref_feat], axis=1), 2)
 
     if l_t_valid is None and ref_valid is None:
         t_valid_mask = None
@@ -420,7 +424,7 @@ def inpaint_generator_forward(
 
     trans_feat = soft_split(p, "ss", enc_feat.reshape(b * t, h, w, CHANNEL))
     fh, fw = trans_feat.shape[1], trans_feat.shape[2]
-    trans_feat = trans_feat.reshape(b, t, fh, fw, HIDDEN)
+    trans_feat = constrain_h(trans_feat.reshape(b, t, fh, fw, HIDDEN), 2)
 
     trans_feat = transformer_stack(
         p, "transformers", trans_feat, (h, w), mask_pool_l,
@@ -430,8 +434,10 @@ def inpaint_generator_forward(
     trans_feat = soft_comp(
         p, "sc", trans_feat.reshape(b * t, fh, fw, HIDDEN), (h, w)
     )
-    enc_feat = enc_feat + trans_feat.reshape(b, t, h, w, CHANNEL)
+    enc_feat = constrain_h(
+        enc_feat + trans_feat.reshape(b, t, h, w, CHANNEL), 2
+    )
 
-    local = enc_feat[:, :l_t].reshape(b * l_t, h, w, CHANNEL)
+    local = constrain_h(enc_feat[:, :l_t].reshape(b * l_t, h, w, CHANNEL), 1)
     out = decoder(p, local)
     return jnp.tanh(out).reshape(b, l_t, ori_h, ori_w, 3)

@@ -10,9 +10,13 @@ update,corr}.py) for XLA:
   * the all-pairs correlation pyramid (corr.py:12-60) is four batched
     matmul+avg-pool tensors; the per-iteration (2r+1)^2-window lookup is a
     batched bilinear gather shared with ops.warp;
-  * both flow directions of RAFT_bi (flow_comp_raft.py:39-58) run
-    sequentially through one compiled program (batching them doubles the
-    correlation-pyramid footprint for no MXU gain at these batch sizes);
+  * RAFT_bi (flow_comp_raft.py:39-58) encodes every unique frame ONCE
+    (the reference encodes each interior frame four times: fnet twice per
+    direction), builds each pair's all-pairs correlation ONCE (the
+    backward volume is the forward one transposed), and runs both
+    directions through a single batched 20-iter scan; the einsum-lookup
+    path keeps the pyramid unpadded, which pays for the direction
+    batching's footprint;
   * convex upsampling (raft.py:81-92) is one einsum.
 
 Only the "large" configuration is implemented (small=False,
@@ -22,6 +26,7 @@ flow_comp_raft.py:13-16). RAFT runs in fp32 like the reference.
 
 from __future__ import annotations
 
+import os
 from typing import Mapping
 
 import jax
@@ -91,29 +96,62 @@ _WIN = 2 * CORR_RADIUS + 2  # 10
 _PAD = 2 * CORR_RADIUS + 1  # 9
 
 
-def build_corr_pyramid(fmap1: jnp.ndarray, fmap2: jnp.ndarray):
-    """All-pairs correlation + 4-level avg-pool pyramid (corr.py:13-27).
+def _pool_pyramid(corr: jnp.ndarray, pad: bool):
+    """corr: [M, H, W, 1] per-source-pixel maps -> 4-level avg pyramid.
 
-    fmap: [N, H, W, C]. Returns list of zero-padded maps
-    [N*H*W, Hl+2*PAD, Wl+2*PAD] ready for window slicing.
+    pad=True: zero-pad each level by _PAD for the dynamic-slice fallback.
+    pad=False (einsum lookup): unpadded maps — out-of-range taps simply
+    match no one-hot row and contribute exact zeros, the same semantics
+    with 1.7x less level-0 HBM.
     """
-    n, h, w, c = fmap1.shape
-    f1 = fmap1.reshape(n, h * w, c)
-    f2 = fmap2.reshape(n, h * w, c)
-    # corr stays fp32 even under bf16 compute (fp32 accumulation; the
-    # Pallas lookup kernel rotates 32-bit lanes only)
-    corr = jnp.einsum(
-        "npc,nqc->npq", f1, f2, preferred_element_type=jnp.float32
-    ) / jnp.sqrt(jnp.asarray(c, jnp.float32))
-    corr = corr.reshape(n * h * w, h, w, 1)
     pyramid = []
     for lvl in range(CORR_LEVELS):
-        pyramid.append(
-            jnp.pad(corr[..., 0], ((0, 0), (_PAD, _PAD), (_PAD, _PAD)))
-        )
+        m = corr[..., 0]
+        if pad:
+            m = jnp.pad(m, ((0, 0), (_PAD, _PAD), (_PAD, _PAD)))
+        pyramid.append(m)
         if lvl < CORR_LEVELS - 1:
             corr = avg_pool2d(corr, (2, 2), (2, 2))
     return pyramid
+
+
+def _all_pairs_corr(fmap1: jnp.ndarray, fmap2: jnp.ndarray) -> jnp.ndarray:
+    """[N, H, W, C] x2 -> [N, H*W, H*W] scaled all-pairs correlation
+    (corr.py:54-60). Stays fp32 even under bf16 compute."""
+    n, h, w, c = fmap1.shape
+    f1 = fmap1.reshape(n, h * w, c)
+    f2 = fmap2.reshape(n, h * w, c)
+    return jnp.einsum(
+        "npc,nqc->npq", f1, f2, preferred_element_type=jnp.float32
+    ) / jnp.sqrt(jnp.asarray(c, jnp.float32))
+
+
+def build_corr_pyramid(fmap1: jnp.ndarray, fmap2: jnp.ndarray, pad: bool = True):
+    """All-pairs correlation + 4-level avg-pool pyramid (corr.py:13-27).
+
+    fmap: [N, H, W, C]. Returns list of maps [N*H*W, Hl(+2*PAD), Wl(+2*PAD)].
+    """
+    n, h, w, _ = fmap1.shape
+    corr = _all_pairs_corr(fmap1, fmap2).reshape(n * h * w, h, w, 1)
+    return _pool_pyramid(corr, pad)
+
+
+def build_corr_pyramid_bi(fmap1: jnp.ndarray, fmap2: jnp.ndarray, pad: bool):
+    """BOTH directions' pyramids from ONE all-pairs einsum.
+
+    The backward correlation volume is the transpose of the forward one
+    (corr_bwd[q, p] = <fmap2_q, fmap1_p> = corr_fwd[p, q]), so RAFT_bi
+    (flow_comp_raft.py:39-58) needs the big [HW, HW] einsum only once;
+    each direction then pools over ITS OWN target coordinates. Returns
+    one pyramid whose batch is [fwd pixels ++ bwd pixels].
+    """
+    n, h, w, _ = fmap1.shape
+    corr = _all_pairs_corr(fmap1, fmap2)
+    corr_b = jnp.swapaxes(corr, 1, 2)
+    both = jnp.concatenate(
+        [corr.reshape(n * h * w, h, w, 1), corr_b.reshape(n * h * w, h, w, 1)]
+    )
+    return _pool_pyramid(both, pad)
 
 
 def _window_lookup_einsum(corr_pad, sy, sx, fy, fx, win: int = 9):
@@ -139,10 +177,25 @@ def _window_lookup_einsum(corr_pad, sy, sx, fy, fx, win: int = 9):
     return jnp.einsum("pix,pjx->pij", tmp, cw.astype(tmp.dtype))
 
 
-def lookup_corr(pyramid, coords: jnp.ndarray) -> jnp.ndarray:
+def _use_unpadded_einsum() -> bool:
+    """True when the MXU one-hot-einsum lookup (the TPU default) is
+    active — that path needs no pyramid padding: out-of-range taps match
+    no one-hot row and contribute exact zeros, saving 1.7x of level-0
+    HBM (what makes batching both RAFT directions affordable)."""
+    from ..ops.deform_conv import _pallas_enabled
+
+    return (
+        _pallas_enabled()
+        and os.environ.get("PROPAINTER_TPU_CORR_KERNEL", "einsum") == "einsum"
+    )
+
+
+def lookup_corr(pyramid, coords: jnp.ndarray, padded: bool = True) -> jnp.ndarray:
     """(2r+1)^2-window bilinear lookup at every level (corr.py:29-50).
 
-    coords: [N, H, W, 2] current matches in pixel coords.
+    coords: [N, H, W, 2] current matches in pixel coords. `padded` says
+    whether the pyramid maps carry the _PAD zero border (the dynamic-slice
+    and Pallas paths need it; the einsum path does not).
     Returns [N, H, W, LEVELS*(2r+1)^2].
 
     TPU-native formulation: all 81 taps of a pixel share one fractional
@@ -157,28 +210,31 @@ def lookup_corr(pyramid, coords: jnp.ndarray) -> jnp.ndarray:
     win = 2 * r + 1
     nhw = n * h * w
     flat = coords.reshape(nhw, 2)
+    off = _PAD if padded else 0
 
-    def starts_and_fracs(corr_pad, lvl):
-        hp, wp = corr_pad.shape[1] - 2 * _PAD, corr_pad.shape[2] - 2 * _PAD
+    def starts_and_fracs(corr_map, lvl):
         c = flat / (2**lvl)
         cx, cy = c[:, 0], c[:, 1]
         x0 = jnp.floor(cx)
         y0 = jnp.floor(cy)
-        fx = (cx - x0).astype(corr_pad.dtype)
-        fy = (cy - y0).astype(corr_pad.dtype)
-        # window start in padded coords; clamping only activates for fully
-        # out-of-range centroids, whose window then reads exact zeros
-        sy = jnp.clip(y0.astype(jnp.int32) - r + _PAD, 0, hp + 2 * _PAD - _WIN)
-        sx = jnp.clip(x0.astype(jnp.int32) - r + _PAD, 0, wp + 2 * _PAD - _WIN)
+        fx = (cx - x0).astype(corr_map.dtype)
+        fy = (cy - y0).astype(corr_map.dtype)
+        sy = y0.astype(jnp.int32) - r + off
+        sx = x0.astype(jnp.int32) - r + off
+        if padded:
+            # window start in padded coords; clamping only activates for
+            # fully out-of-range centroids, whose window then reads zeros.
+            # Unpadded (einsum) starts stay free: OOB rows are zero-weight.
+            sy = jnp.clip(sy, 0, corr_map.shape[1] - _WIN)
+            sx = jnp.clip(sx, 0, corr_map.shape[2] - _WIN)
         return sy, sx, fy, fx
 
     from ..ops.deform_conv import _pallas_enabled
 
     if _pallas_enabled() and len(pyramid) == CORR_LEVELS:
-        import os
-
         per = [starts_and_fracs(p, i) for i, p in enumerate(pyramid)]
         if os.environ.get("PROPAINTER_TPU_CORR_KERNEL", "einsum") == "pallas":
+            assert padded, "the Pallas DMA lookup needs padded maps"
             # DMA/block-pipelined Pallas window gather (kept for strict
             # fp32 tap arithmetic; ~3x slower than the einsum form)
             from ..ops.pallas.corr_lookup import corr_window_lookup4_pallas
@@ -211,6 +267,11 @@ def lookup_corr(pyramid, coords: jnp.ndarray) -> jnp.ndarray:
         quirk = jnp.swapaxes(std4, 2, 3)
         return quirk.reshape(n, h, w, CORR_LEVELS * win * win)
 
+    if not padded:  # the dynamic-slice fallback cannot read out of bounds
+        pyramid = [
+            jnp.pad(m, ((0, 0), (_PAD, _PAD), (_PAD, _PAD))) for m in pyramid
+        ]
+        padded, off = True, _PAD
     out = []
     for i, corr_pad in enumerate(pyramid):
         sy, sx, fy, fx = starts_and_fracs(corr_pad, i)
@@ -344,17 +405,59 @@ def raft_bi_forward(
     """Bidirectional flow over a clip (flow_comp_raft.py:39-58).
 
     frames: [B, T, H, W, 3] in [-1, 1]. Returns (flows_fwd, flows_bwd),
-    each [B, T-1, H, W, 2]. The two directions run sequentially through
-    the same compiled program — batching them together doubles the
-    correlation-pyramid footprint (the largest live buffer) for no
-    additional MXU utilization at these batch sizes.
+    each [B, T-1, H, W, 2]. Numerically identical to two `raft_forward`
+    calls, restructured for TPU:
+
+      * every unique frame goes through fnet/cnet ONCE (the reference's
+        RAFT_bi encodes each interior frame four times);
+      * the [HW, HW] all-pairs correlation is computed once per adjacent
+        pair — the backward volume is its transpose
+        (`build_corr_pyramid_bi`);
+      * both directions share one `iters`-step scan at 2x batch, halving
+        dispatches and filling the MXU better;
+      * under the einsum lookup the pyramid stays unpadded, which roughly
+        cancels the footprint cost of direction batching.
     """
     b, t, h, w, c = frames.shape
-    f1 = frames[:, :-1].reshape(b * (t - 1), h, w, c)
-    f2 = frames[:, 1:].reshape(b * (t - 1), h, w, c)
-    flows_f = raft_forward(params, f1, f2, iters=iters)
-    flows_b = raft_forward(params, f2, f1, iters=iters)
+    n = b * (t - 1)
+    cdt = params["fnet.conv1.weight"].dtype
+    flat = frames.reshape(b * t, h, w, c).astype(cdt)
+
+    fmaps = basic_encoder(params, "fnet", flat, norm="instance")
+    cnet_all = basic_encoder(params, "cnet", flat, norm="batch")
+    h8, w8 = h // 8, w // 8
+
+    fm = fmaps.reshape(b, t, h8, w8, -1)
+    f1 = fm[:, :-1].reshape(n, h8, w8, -1)
+    f2 = fm[:, 1:].reshape(n, h8, w8, -1)
+    unpadded = _use_unpadded_einsum()
+    pyramid = build_corr_pyramid_bi(f1, f2, pad=not unpadded)
+
+    # context order matches the pyramid's batch: [fwd image1 ++ bwd image1]
+    cn = cnet_all.reshape(b, t, h8, w8, -1)
+    cnet = jnp.concatenate([cn[:, :-1], cn[:, 1:]], axis=0)
+    cnet = cnet.reshape(2 * n, h8, w8, -1)
+    net = jnp.tanh(cnet[..., :HDIM])
+    inp = jax.nn.relu(cnet[..., HDIM:])
+
+    coords0 = coords_grid(2 * n, h8, w8)
+    coords1 = coords0
+    up_mask0 = jnp.zeros((2 * n, h8, w8, 64 * 9), cdt)
+
+    def step(carry, _):
+        net, coords1, _ = carry
+        corr = lookup_corr(pyramid, coords1, padded=not unpadded)
+        flow = coords1 - coords0
+        net, up_mask, delta = _update_block(
+            params, net, inp, corr.astype(cdt), flow.astype(cdt)
+        )
+        return (net, coords1 + delta.astype(jnp.float32), up_mask), None
+
+    (net, coords1, up_mask), _ = jax.lax.scan(
+        step, (net, coords1, up_mask0), None, length=iters
+    )
+    flows = convex_upsample(coords1 - coords0, up_mask.astype(jnp.float32))
     return (
-        flows_f.reshape(b, t - 1, h, w, 2),
-        flows_b.reshape(b, t - 1, h, w, 2),
+        flows[:n].reshape(b, t - 1, h, w, 2),
+        flows[n:].reshape(b, t - 1, h, w, 2),
     )

@@ -23,6 +23,7 @@ from .utils import weights as weights_zoo
 from .utils.metrics import RunRecorder
 
 _PIPELINE_CACHE: dict = {}
+_PARAM_CACHE: dict = {}
 
 
 def _to_numpy(x) -> np.ndarray:
@@ -71,22 +72,35 @@ def check_inputs(frames: np.ndarray, masks: np.ndarray) -> None:
         )
 
 
+def _cached_params(model: str, dtype, allow_random: bool) -> dict:
+    """Converted checkpoint params, cast + uploaded once per dtype."""
+    key = (model, jnp.dtype(dtype).name, allow_random)
+    if key not in _PARAM_CACHE:
+        raw = weights_zoo.get_params(model, allow_random=allow_random)
+        _PARAM_CACHE[key] = {
+            k: jnp.asarray(v, dtype=dtype) for k, v in raw.items()
+        }
+    return _PARAM_CACHE[key]
+
+
 def get_pipeline(config: PipelineConfig, allow_random_weights: bool = False) -> Pipeline:
     """Pipeline with cached converted weights — fixes the reference's
-    model re-initialization on every invocation (propainter_nodes.py:133)."""
-    key = (config.fp16, config.raft_bf16, allow_random_weights)
+    model re-initialization on every invocation (propainter_nodes.py:133).
+
+    Pipelines are cached per full config (no shared-state mutation); the
+    device param trees and compiled stage programs are process-global, so
+    a new config costs nothing beyond compiles its static keys demand."""
+    key = (config, allow_random_weights)
     if key not in _PIPELINE_CACHE:
+        rdtype = jnp.bfloat16 if config.raft_bf16 else jnp.float32
+        cdtype = jnp.bfloat16 if config.use_bf16 else jnp.float32
         _PIPELINE_CACHE[key] = Pipeline(
-            weights_zoo.get_params("raft", allow_random=allow_random_weights),
-            weights_zoo.get_params("flow_completion", allow_random=allow_random_weights),
-            weights_zoo.get_params(
-                "inpaint_generator", allow_random=allow_random_weights
-            ),
+            _cached_params("raft", rdtype, allow_random_weights),
+            _cached_params("flow_completion", cdtype, allow_random_weights),
+            _cached_params("inpaint_generator", cdtype, allow_random_weights),
             config,
         )
-    pipe = _PIPELINE_CACHE[key]
-    pipe.config = config
-    return pipe
+    return _PIPELINE_CACHE[key]
 
 
 class ProPainterInpaint:
@@ -174,8 +188,13 @@ class ProPainterInpaint:
             out_images = (
                 np.asarray(composed.astype(jnp.uint8)).astype(np.float32) / 255.0
             )
-        out_flow_masks = np.asarray(flow_masks, dtype=np.float32).squeeze()
-        out_masks_dilated = np.asarray(masks_dilated, dtype=np.float32).squeeze()
+        # masks are binary 0/1: fetch as uint8 (4x less transfer)
+        out_flow_masks = (
+            np.asarray(flow_masks.astype(jnp.uint8)).astype(np.float32).squeeze()
+        )
+        out_masks_dilated = (
+            np.asarray(masks_dilated.astype(jnp.uint8)).astype(np.float32).squeeze()
+        )
         return (
             _to_output(out_images),
             _to_output(out_flow_masks),
@@ -265,7 +284,9 @@ class ProPainterOutpaint:
             out_images = (
                 np.asarray(composed.astype(jnp.uint8)).astype(np.float32) / 255.0
             )
-        out_masks = np.asarray(masks_dilated, dtype=np.float32).squeeze()
+        out_masks = (
+            np.asarray(masks_dilated.astype(jnp.uint8)).astype(np.float32).squeeze()
+        )
         return (_to_output(out_images), _to_output(out_masks), cw, chh)
 
 

@@ -387,9 +387,30 @@ def transformer_stack(
     assert depths % t_dilation == 0
     groups = depths // t_dilation
 
-    # stack params: "...transformer.{i}.<suffix>" -> [groups, t_dilation, ...]
     prefix = f"{pre}.transformer.0."
     suffixes = [k[len(prefix) :] for k in p if k.startswith(prefix)]
+    t_inds_all = [np.arange(d % t_dilation, t, t_dilation) for d in range(depths)]
+
+    # Under GSPMD spatial (H) sharding the scan-over-stacked-params form
+    # computes measurably different values (XLA SPMD partitions the while
+    # body with involuntary full rematerializations; params passed as
+    # plain jit args are exact, scan-carried params are not — see
+    # tests/test_spatial.py). Unroll the depth loop there: 8 traced
+    # blocks, each reading its params directly from the arg pytree.
+    from ..parallel.spatial import spatial_active
+
+    if spatial_active():
+        for i in range(depths):
+            pd = {
+                "blk." + s: p[f"{pre}.transformer.{i}.{s}"] for s in suffixes
+            }
+            x = transformer_block(
+                pd, "blk", x, fold_size, mask, t_inds_all[i], t_valid_mask,
+                axis_name=axis_name,
+            )
+        return x
+
+    # stack params: "...transformer.{i}.<suffix>" -> [groups, t_dilation, ...]
     stacked = {
         "blk." + s: jnp.stack(
             [

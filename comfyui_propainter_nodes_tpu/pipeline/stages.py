@@ -33,16 +33,24 @@ from ..utils.profiling import stage_timer
 
 
 class JitCache:
-    """jit-compile once per (tag, static-arg tuple)."""
+    """jit-compile once per (salt, tag, static-arg tuple).
 
-    def __init__(self):
-        self._cache: dict = {}
+    The store is process-global so Pipeline instances are cheap: a new
+    Pipeline for a new PipelineConfig re-uses every compiled program whose
+    static key matches (config knobs that affect compilation — raft_iter,
+    shapes, chunk lengths — are part of the keys). `salt` isolates
+    mesh-dependent programs (shard_map closes over the mesh)."""
+
+    _store: dict = {}
+
+    def __init__(self, salt=None):
+        self._salt = salt
 
     def get(self, tag: str, static, build: Callable):
-        key = (tag, static)
-        if key not in self._cache:
-            self._cache[key] = jax.jit(build())
-        return self._cache[key]
+        key = (self._salt, tag, static)
+        if key not in self._store:
+            self._store[key] = jax.jit(build())
+        return self._store[key]
 
 
 def get_ref_index(
@@ -94,7 +102,13 @@ class Pipeline:
         self.inpaint_params = jax.tree.map(
             lambda a: jnp.asarray(a, dtype=cdtype), inpaint_params
         )
-        self.jits = JitCache()
+        salt = None
+        if mesh is not None:
+            salt = (
+                tuple(mesh.shape.items()),
+                tuple(str(d) for d in mesh.devices.flat),
+            )
+        self.jits = JitCache(salt)
 
     # --------------------------------------------------- clip parallelism
 
@@ -505,42 +519,40 @@ class Pipeline:
             build,
         )(prm, sf, sm, su, ff, fb, os_, lt, rf)
 
-    def blend_scan_fn(self, l_t_max: int, hw: tuple):
-        """Jitted sequential overlap blending over all window outputs
-        (exact reference semantics, propainter_inference.py:294-307) as
-        one lax.scan — a single dispatch regardless of window count."""
+    def blend_gather_fn(self, chain_len: int, hw: tuple):
+        """Jitted overlap blending, parallel over frames.
+
+        The reference's sequential revisit blend
+        (propainter_inference.py:294-307) touches each frame through the
+        ordered chain of windows containing it — at most
+        ceil(l_t_max / neighbor_stride) ≈ 3 windows. Per FRAME that chain
+        is static, so instead of scanning windows sequentially (every step
+        rewrites the whole video buffer) each frame gathers its own
+        window outputs and folds the uint8 0.5/0.5 chain in `chain_len`
+        fully-parallel steps. Bit-identical to the scan (same floors,
+        same order — a frame's revisits arrive in window order)."""
 
         def build():
-            def f(composed, imgs, n0s, blends):
-                def step(comp, xs):
-                    img, n0, blend = xs
-                    old = jax.lax.dynamic_slice_in_dim(comp, n0, l_t_max, 0)
-                    new = jnp.floor(
-                        blend[:, None, None, None] * img
-                        + (1.0 - blend[:, None, None, None]) * old
-                    )
-                    return (
-                        jax.lax.dynamic_update_slice_in_dim(comp, new, n0, 0),
-                        None,
-                    )
-
-                composed, _ = jax.lax.scan(step, composed, (imgs, n0s, blends))
-                return composed
+            def f(imgs, win_idx, slot_idx, valid):
+                # imgs [nW, l_t_max, H, W, 3]; win/slot/valid [T, L]
+                comp = imgs[win_idx[:, 0], slot_idx[:, 0]]  # [T, H, W, 3]
+                for i in range(1, chain_len):
+                    nxt = imgs[win_idx[:, i], slot_idx[:, i]]
+                    blended = jnp.floor(0.5 * nxt + 0.5 * comp)
+                    v = valid[:, i][:, None, None, None]
+                    comp = jnp.where(v, blended, comp)
+                return comp
 
             return f
 
-        def run(composed, imgs, n0s, blends):
-            # bucket the window count so video length doesn't recompile
-            wn = imgs.shape[0]
-            wn_pad = -(-wn // 8) * 8
-            if wn_pad != wn:
-                imgs = jnp.pad(imgs, ((0, wn_pad - wn),) + ((0, 0),) * 4)
-                n0s = jnp.pad(n0s, (0, wn_pad - wn))
-                blends = jnp.pad(blends, ((0, wn_pad - wn), (0, 0)))
+        def run(imgs, win_idx, slot_idx, valid):
+            t = win_idx.shape[0]
             fn = self.jits.get(
-                "blend_scan", (wn_pad, l_t_max) + tuple(hw), build
+                "blend_gather",
+                (imgs.shape[0], imgs.shape[1], chain_len, t) + tuple(hw),
+                build,
             )
-            return fn(composed, imgs, n0s, blends)
+            return fn(imgs, win_idx, slot_idx, valid)
 
         return run
 
@@ -619,12 +631,10 @@ class Pipeline:
         ff_p = jnp.pad(flows_f, pad_t)
         fb_p = jnp.pad(flows_b, pad_t)
 
-        composed = jnp.pad(
+        orig_p = jnp.pad(
             original_frames.astype(jnp.float32),
             ((0, l_t_max), (0, 0), (0, 0), (0, 0)),
         )  # [T + l_t_max, H, W, 3]
-        orig_p = composed
-        visited = np.zeros(t, dtype=bool)
 
         # ---- Window predictions are independent of each other (only the
         # uint8 blend chain is sequential, propainter_inference.py:294-307),
@@ -691,24 +701,30 @@ class Pipeline:
             for gi, wi in enumerate(grp):
                 imgs_per_window[wi] = imgs[gi]
 
-        # blend vectors from the deterministic visit order
-        blends, n0_list = [], []
-        for nids, _ in windows:
-            l_t = len(nids)
-            blends.append(
-                [0.5 if visited[i] else 1.0 for i in nids] + [0.0] * (l_t_max - l_t)
-            )
-            n0_list.append(nids[0])
-            for i in nids:
-                visited[i] = True
+        # per-frame blend chains from the deterministic visit order: frame
+        # i is touched by windows {w : i in nids_w} in window order, first
+        # visit replacing, revisits 0.5/0.5 (propainter_inference.py:294-307)
+        chains: list[list[tuple[int, int]]] = [[] for _ in range(t)]
+        for wi, (nids, _) in enumerate(windows):
+            for slot, i in enumerate(nids):
+                chains[i].append((wi, slot))
+        chain_len = max(2, max(len(c) for c in chains))
+        win_idx = np.zeros((t, chain_len), np.int32)
+        slot_idx = np.zeros((t, chain_len), np.int32)
+        valid = np.zeros((t, chain_len), np.bool_)
+        for i, chain in enumerate(chains):
+            for j, (wi, slot) in enumerate(chain):
+                win_idx[i, j], slot_idx[i, j], valid[i, j] = wi, slot, True
+            for j in range(len(chain), chain_len):  # inert repeats
+                win_idx[i, j], slot_idx[i, j] = chain[-1][0], chain[-1][1]
 
-        blend_fn = self.blend_scan_fn(l_t_max, updated_frames.shape[2:4])
+        blend_fn = self.blend_gather_fn(chain_len, updated_frames.shape[2:4])
         with stage_timer("blend") as tm:
             composed = tm.set(blend_fn(
-                composed,
                 jnp.stack(imgs_per_window),
-                jnp.asarray(n0_list),
-                jnp.asarray(blends, jnp.float32),
+                jnp.asarray(win_idx),
+                jnp.asarray(slot_idx),
+                jnp.asarray(valid),
             ))
         return composed[:t]
 

@@ -78,6 +78,57 @@ def test_raft_forward_parity(torch_raft, jax_params, iters, atol):
     )
 
 
+def test_raft_bi_matches_two_directions(jax_params):
+    """The batched bidirectional forward (shared encoders, transposed
+    correlation volume, one 2x-batch scan) must reproduce two independent
+    raft_forward calls — the RAFT_bi semantics (flow_comp_raft.py:39-58)."""
+    rng = np.random.default_rng(21)
+    b, t, h, w = 1, 4, 64, 96
+    base = rng.uniform(-1, 1, (b, 1, h, w, 3))
+    drift = np.cumsum(rng.normal(0, 0.03, (b, t, h, w, 3)), axis=1)
+    frames = np.clip(base + drift, -1, 1).astype(np.float32)
+    fj = jnp.asarray(frames)
+
+    ff, fb = jraft.raft_bi_forward(jax_params, fj, iters=2)
+
+    f1 = fj[:, :-1].reshape(b * (t - 1), h, w, 3)
+    f2 = fj[:, 1:].reshape(b * (t - 1), h, w, 3)
+    ref_f = jraft.raft_forward(jax_params, f1, f2, iters=2)
+    ref_b = jraft.raft_forward(jax_params, f2, f1, iters=2)
+
+    for got, ref in ((ff, ref_f), (fb, ref_b)):
+        err = np.abs(np.asarray(got).reshape(ref.shape) - np.asarray(ref))
+        # random weights make the recurrence mildly chaotic (see above);
+        # bound the bulk of the field
+        assert np.quantile(err, 0.99) < 1e-3, np.quantile(err, 0.99)
+
+
+def test_raft_bi_unpadded_einsum_matches_fallback(jax_params):
+    """The TPU path (unpadded pyramid + one-hot einsum lookup) vs the
+    padded dynamic-slice fallback: out-of-range taps must contribute the
+    same exact zeros whether they read a zero border or miss every
+    one-hot row."""
+    from comfyui_propainter_nodes_tpu.ops import deform_conv as _dc
+
+    rng = np.random.default_rng(22)
+    b, t, h, w = 1, 3, 64, 96
+    frames = rng.uniform(-1, 1, (b, t, h, w, 3)).astype(np.float32)
+    fj = jnp.asarray(frames)
+
+    ref_f, ref_b = jraft.raft_bi_forward(jax_params, fj, iters=1)
+
+    prev = _dc._USE_PALLAS
+    _dc._USE_PALLAS = True  # activates the einsum lookup path on CPU
+    try:
+        assert jraft._use_unpadded_einsum()
+        got_f, got_b = jraft.raft_bi_forward(jax_params, fj, iters=1)
+    finally:
+        _dc._USE_PALLAS = prev
+
+    np.testing.assert_allclose(np.asarray(got_f), np.asarray(ref_f), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got_b), np.asarray(ref_b), atol=2e-4)
+
+
 def test_raft_bi_shapes(jax_params):
     rng = np.random.default_rng(2)
     frames = rng.uniform(-1, 1, (1, 4, 128, 160, 3)).astype(np.float32)
@@ -120,3 +171,45 @@ def test_raft_scan_matches_unrolled_iterations(torch_raft, jax_params):
         coords1 = coords1 + delta
     ref = jraft.convex_upsample(coords1 - coords0, up_mask)
     np.testing.assert_allclose(np.asarray(full), np.asarray(ref), atol=1e-5)
+
+
+def test_raft_forward_parity_20_iters_contractive(torch_raft, jax_params):
+    """Full 20-iteration parity vs torch — the production iteration count.
+
+    Random weights make the recurrence chaotic (see above), so the
+    flow-head output is damped 100x on BOTH sides: the per-iteration loop
+    gain drops below 1 and the 20-step scan must track the torch loop to
+    fp32 tolerance. This pins the multi-iteration envelope (carry wiring,
+    corr re-lookup each step, final-iter upsample mask) that the 1-iter
+    test cannot see."""
+    import copy
+
+    damped = copy.deepcopy(torch_raft)
+    with torch.no_grad():
+        damped.update_block.flow_head.conv2.weight *= 0.01
+        damped.update_block.flow_head.conv2.bias *= 0.01
+    damped.eval()
+    params = {
+        k: jnp.asarray(v)
+        for k, v in convert_state_dict(damped.state_dict()).items()
+    }
+
+    rng = np.random.default_rng(7)
+    h, w = 128, 160
+    im1 = rng.uniform(-1, 1, (1, h, w, 3)).astype(np.float32)
+    im2 = np.clip(im1 + rng.normal(0, 0.05, im1.shape), -1, 1).astype(np.float32)
+
+    with torch.no_grad():
+        _, ref_flow = damped(
+            torch.from_numpy(im1).permute(0, 3, 1, 2),
+            torch.from_numpy(im2).permute(0, 3, 1, 2),
+            iters=20,
+            test_mode=True,
+        )
+    ref_flow = ref_flow.permute(0, 2, 3, 1).numpy()
+
+    ours = np.asarray(
+        jraft.raft_forward(params, jnp.asarray(im1), jnp.asarray(im2), iters=20)
+    )
+    err = np.abs(ours - ref_flow)
+    assert np.quantile(err, 0.99) < 2e-3, f"p99 err {np.quantile(err, 0.99):.3e}"
