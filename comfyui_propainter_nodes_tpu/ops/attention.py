@@ -29,25 +29,133 @@ import jax.numpy as jnp
 import numpy as np
 
 from .conv import conv2d, linear, layer_norm
-from .patches import unfold, fold, fold_normalizer
 from .pool import max_pool2d
 
 Params = Mapping[str, jnp.ndarray]
 
 
 # ------------------------------------------------------- token (de)compose
+#
+# SoftSplit / SoftComp / FusionFeedForward are all (linear ∘ unfold) or
+# (fold ∘ linear) with kernel (7,7), stride (3,3), padding (3,3). On TPU
+# those compose into CONVOLUTIONS — the MXU's native op — instead of
+# materializing patch tensors / overlap-added canvases:
+#
+#   linear ∘ unfold  ==  conv2d(x, W reshaped [7,7,C,out], stride 3)
+#   fold ∘ linear    ==  a 3x3 conv over the TOKEN grid producing all
+#                        sh*sw=9 stride-phases as stacked channels
+#                        (canvas pixel 3q+a only ever receives taps
+#                        ki = a+3d, so phase a of the padded canvas is a
+#                        3-tap correlation along the token axis), followed
+#                        by one interleave reshape when pixel layout is
+#                        actually needed.
+#
+# A ones-channel appended to the input with the layer bias as an extra
+# kernel row reproduces fold's border behavior exactly (bias taps only
+# where a covering token exists).
+
+_T2T = {"kernel": (7, 7), "stride": (3, 3), "padding": (3, 3)}
+
+
+def _phase_geometry(fh: int, fw: int):
+    (kh, kw), (sh, sw) = _T2T["kernel"], _T2T["stride"]
+    dh, dw = -(-kh // sh), -(-kw // sw)
+    return dh, dw, fh - 1 + dh, fw - 1 + dw
+
+
+def _phase_kernel(wmat: jnp.ndarray, bias: jnp.ndarray, c_out: int, flip: bool):
+    """[in, c_out*49] linear weight -> [dh, dw, in+1, sh*sw*c_out] conv
+    kernel over the token grid; the +1 input row carries the bias."""
+    (kh, kw), (sh, sw) = _T2T["kernel"], _T2T["stride"]
+    dh, dw = -(-kh // sh), -(-kw // sw)
+    cin = wmat.shape[0]
+    k = wmat.reshape(cin, c_out, kh, kw)
+    b = bias.reshape(1, c_out, kh, kw)
+    k = jnp.concatenate([k, b], axis=0)  # ones-channel row
+    k = jnp.pad(k, ((0, 0), (0, 0), (0, sh * dh - kh), (0, sw * dw - kw)))
+    # ki = sh*d1 + a  ->  reshape (dh, sh); likewise kj
+    k = k.reshape(cin + 1, c_out, dh, sh, dw, sw)
+    k = k.transpose(2, 4, 0, 3, 5, 1)  # [d1, d2, in+1, a, b, c_out]
+    if flip:  # fold direction: phase[q] += token[q - d]
+        k = k[::-1, ::-1]
+    return k.reshape(dh, dw, cin + 1, sh * sw * c_out)
+
+
+def _with_ones(x: jnp.ndarray) -> jnp.ndarray:
+    n, fh, fw, _ = x.shape
+    return jnp.concatenate([x, jnp.ones((n, fh, fw, 1), x.dtype)], axis=-1)
+
+
+def _phase_fold_conv(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+    """Token grid [N, fh, fw, in] -> stacked phase canvases
+    [N, qh, qw, sh*sw*c_out] (q spans the padded canvas in stride units)."""
+    dh, dw = kernel.shape[0], kernel.shape[1]
+    return jax.lax.conv_general_dilated(
+        _with_ones(x),
+        kernel.astype(x.dtype),
+        window_strides=(1, 1),
+        padding=((dh - 1, dh - 1), (dw - 1, dw - 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+def _interleave_phases(
+    ph_canvas: jnp.ndarray, c_out: int, output_size: tuple[int, int]
+) -> jnp.ndarray:
+    """[N, qh, qw, sh*sw*c_out] -> cropped pixel canvas [N, H, W, c_out]."""
+    (sh, sw), (ph, pw) = _T2T["stride"], _T2T["padding"]
+    h, w = output_size
+    n, qh, qw, _ = ph_canvas.shape
+    out = ph_canvas.reshape(n, qh, qw, sh, sw, c_out)
+    out = out.transpose(0, 1, 3, 2, 4, 5).reshape(n, qh * sh, qw * sw, c_out)
+    pad_h = max(0, ph + h - qh * sh)
+    pad_w = max(0, pw + w - qw * sw)
+    if pad_h or pad_w:
+        out = jnp.pad(out, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+    return out[:, ph : ph + h, pw : pw + w, :]
+
+
+@functools.lru_cache(maxsize=32)
+def _phase_mult(fh: int, fw: int, h: int, w: int) -> np.ndarray:
+    """Static per-phase multiplier [qh, qw, sh*sw]: 1/overlap-count inside
+    the cropped canvas, 0 outside (fold writes into the pad border are
+    discarded by the crop, and unfold reads zeros there)."""
+    (kh, kw), (sh, sw), (ph, pw) = (
+        _T2T["kernel"], _T2T["stride"], _T2T["padding"],
+    )
+
+    def axis(f, size, k, s, pad):
+        d_n = -(-k // s)
+        q = f - 1 + d_n
+        count = np.zeros((q, s))
+        for a in range(s):
+            for d in range(d_n):
+                if a + s * d >= k:
+                    continue
+                qs = np.arange(q)
+                count[(qs - d >= 0) & (qs - d < f), a] += 1
+        pix = np.arange(q)[:, None] * s + np.arange(s)[None]
+        mask = (pix >= pad) & (pix < pad + size)
+        return mask / np.maximum(count, 1)
+
+    my = axis(fh, h, kh, sh, ph)  # [qh, sh]
+    mx = axis(fw, w, kw, sw, pw)  # [qw, sw]
+    m = my[:, None, :, None] * mx[None, :, None, :]  # [qh, qw, sh, sw]
+    return m.reshape(m.shape[0], m.shape[1], sh * sw).astype(np.float32)
 
 
 def soft_split(p: Params, pre: str, x: jnp.ndarray) -> jnp.ndarray:
     """SoftSplit (sparse_transformer.py:8-36): overlapping-patch tokenize.
 
-    x: [N, H, W, C] -> [N, f_h, f_w, hidden]. Patch vectors are ordered
-    channel-major (C, kh, kw) to match the torch Linear weight.
-    """
-    patches = unfold(x, (7, 7), (3, 3), (3, 3))  # [N, fh, fw, 7, 7, C]
-    n, fh, fw, kh, kw, c = patches.shape
-    vec = patches.transpose(0, 1, 2, 5, 3, 4).reshape(n, fh, fw, c * kh * kw)
-    return linear(p, pre + ".embedding", vec)
+    x: [N, H, W, C] -> [N, f_h, f_w, hidden]. linear∘unfold == one strided
+    conv (the torch Linear weight's (C, kh, kw)-major vector ordering maps
+    straight onto an HWIO kernel)."""
+    w = p[pre + ".embedding.weight"]  # [C*49, hidden]
+    b = p[pre + ".embedding.bias"]
+    (kh, kw), stride, padding = _T2T["kernel"], _T2T["stride"], _T2T["padding"]
+    c = w.shape[0] // (kh * kw)
+    kernel = w.reshape(c, kh, kw, -1).transpose(1, 2, 0, 3)
+    return conv2d(x, kernel, b, stride=stride, padding=padding)
 
 
 def soft_comp(
@@ -56,12 +164,12 @@ def soft_comp(
     """SoftComp (sparse_transformer.py:39-64): overlap-add de-tokenize.
 
     tokens: [N, f_h, f_w, hidden] -> [N, H, W, C] (+ 3x3 bias conv).
-    """
-    n, fh, fw, _ = tokens.shape
-    vec = linear(p, pre + ".embedding", tokens)  # [N, fh, fw, C*49]
-    c = vec.shape[-1] // 49
-    patches = vec.reshape(n, fh, fw, c, 7, 7).transpose(0, 1, 2, 4, 5, 3)
-    out = fold(patches, output_size, (7, 7), (3, 3), (3, 3))
+    fold∘linear as the 3x3 phase conv + one interleave."""
+    w = p[pre + ".embedding.weight"]  # [hidden, C*49]
+    b = p[pre + ".embedding.bias"]
+    c = b.shape[0] // 49
+    kernel = _phase_kernel(w, b, c, flip=True)
+    out = _interleave_phases(_phase_fold_conv(tokens, kernel), c, output_size)
     return conv2d(
         out, p[pre + ".bias_conv.weight"], p[pre + ".bias_conv.bias"], padding=(1, 1)
     )
@@ -316,18 +424,45 @@ def fusion_feed_forward(
     unfold overlap re-normalization in a 40-dim bottleneck space.
 
     x: [N_frames, f_h, f_w, dim].
+
+    Entirely in phase space — the pixel canvas never materializes:
+      fold∘fc1     == 3x3 token-grid conv  [dim+1 -> 9*40]
+      /norm, crop  == one static per-phase multiplier map
+      GELU         == elementwise here (unfold is a gather and GELU(0)=0,
+                      so GELU commutes with it; the reference applies it
+                      after unfold, sparse_transformer.py:72,118)
+      fc2∘unfold   == 3x3 VALID conv       [9*40 -> dim]
+    Two MXU convs + one fused elementwise instead of ~50 canvas passes.
     """
     n, fh, fw, _ = x.shape
-    y = linear(p, pre + ".fc1.0", x)  # [N, fh, fw, 1960]
-    c_mid = y.shape[-1] // 49  # 40
-    patches = y.reshape(n, fh, fw, c_mid, 7, 7).transpose(0, 1, 2, 4, 5, 3)
-    canvas = fold(patches, output_size, (7, 7), (3, 3), (3, 3))
-    norm = fold_normalizer((fh, fw), output_size, (7, 7), (3, 3), (3, 3), canvas.dtype)
-    canvas = canvas / norm[None]
-    patches = unfold(canvas, (7, 7), (3, 3), (3, 3))  # [N, fh, fw, 7, 7, 40]
-    y = patches.transpose(0, 1, 2, 5, 3, 4).reshape(n, fh, fw, c_mid * 49)
-    y = jax.nn.gelu(y, approximate=False)
-    return linear(p, pre + ".fc2.1", y)
+    b1 = p[pre + ".fc1.0.bias"]
+    c_mid = b1.shape[0] // 49  # 40
+    k1 = _phase_kernel(p[pre + ".fc1.0.weight"], b1, c_mid, flip=True)
+    y = _phase_fold_conv(x, k1)  # [N, qh, qw, 9*c_mid]
+
+    mult = jnp.asarray(_phase_mult(fh, fw, *output_size))  # [qh, qw, 9]
+    qh, qw = y.shape[1], y.shape[2]
+    y = y.reshape(n, qh, qw, 9, c_mid) * mult[..., None].astype(y.dtype)
+    y = jax.nn.gelu(y.reshape(n, qh, qw, 9 * c_mid), approximate=False)
+
+    # fc2∘unfold: patches[t', ki, kj] = phase[(ki%3, kj%3)][t' + ki//3, ...]
+    (kh, kw), (sh, sw) = _T2T["kernel"], _T2T["stride"]
+    dh, dw = -(-kh // sh), -(-kw // sw)
+    w2 = p[pre + ".fc2.1.weight"]  # [c_mid*49, dim]
+    dim = w2.shape[1]
+    k2 = w2.reshape(c_mid, kh, kw, dim)
+    k2 = jnp.pad(k2, ((0, 0), (0, sh * dh - kh), (0, sw * dw - kw), (0, 0)))
+    k2 = k2.reshape(c_mid, dh, sh, dw, sw, dim)
+    k2 = k2.transpose(1, 3, 2, 4, 0, 5)  # [d1, d2, a, b, c_mid, dim]
+    k2 = k2.reshape(dh, dw, sh * sw * c_mid, dim)
+    out = jax.lax.conv_general_dilated(
+        y,
+        k2.astype(y.dtype),
+        window_strides=(1, 1),
+        padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return out + p[pre + ".fc2.1.bias"].astype(out.dtype)
 
 
 def transformer_block(

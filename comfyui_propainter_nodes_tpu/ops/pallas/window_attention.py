@@ -72,20 +72,24 @@ def _kernel(
 
     @pl.when(occupied)
     def _():
-        q = q_ref[0, 0].astype(jnp.float32) * scale  # [QT, ch]
+        # dot inputs stay in the model compute dtype (bf16 on TPU) with
+        # f32 MXU accumulation — same contract as the XLA-fallback
+        # einsums; the flash running stats stay f32
+        q = q_ref[0, 0]  # [QT, ch]
         m = jnp.full((qt, 1), NEG, jnp.float32)
         l = jnp.zeros((qt, 1), jnp.float32)
         acc = jnp.zeros((qt, ch), jnp.float32)
 
         def tile(kref, vref, bref, s0, sl, m, l, acc):
-            ks = kref[0, 0, s0 : s0 + sl, :].astype(jnp.float32)
-            vs = vref[0, 0, s0 : s0 + sl, :].astype(jnp.float32)
+            ks = kref[0, 0, s0 : s0 + sl, :]
+            vs = vref[0, 0, s0 : s0 + sl, :]
             bias = bref[0, 0, s0 : s0 + sl]
             s = (
                 jax.lax.dot_general(
                     q, ks, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
+                * scale
                 + bias[None, :]
             )  # [QT, sl]
             m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
@@ -93,7 +97,7 @@ def _kernel(
             p = jnp.exp(s - m_new)
             l = l * alpha + jnp.sum(p, axis=1, keepdims=True)
             acc = acc * alpha + jax.lax.dot_general(
-                p, vs, (((1,), (0,)), ((), ())),
+                p.astype(vs.dtype), vs, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             return m_new, l, acc
@@ -106,25 +110,30 @@ def _kernel(
             for s0 in range(0, seg_len, k_tile):
                 sl = min(k_tile, seg_len - s0)
                 m, l, acc = tile(kref, vref, bref, s0, sl, m, l, acc)
-        out_ref[0, 0] = acc / l
+        out_ref[0, 0] = (acc / l).astype(out_ref.dtype)
 
     @pl.when(jnp.logical_not(occupied))
     def _():
         # per-frame within-window attention: queries of frame t attend the
         # wsz window keys of the SAME frame only
-        qb = q_ref[0, 0].astype(jnp.float32) * scale
-        kb = wk_ref[0, 0].astype(jnp.float32)
-        vb = wv_ref[0, 0].astype(jnp.float32)
-        s_full = jax.lax.dot_general(
-            qb, kb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        qb = q_ref[0, 0]
+        kb = wk_ref[0, 0]
+        vb = wv_ref[0, 0]
+        s_full = (
+            jax.lax.dot_general(
+                qb, kb, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            * scale
         )  # [QT, QT]
         rows = jax.lax.broadcasted_iota(jnp.int32, (qt, qt), 0) // wsz
         cols = jax.lax.broadcasted_iota(jnp.int32, (qt, qt), 1) // wsz
         s_full = jnp.where(rows == cols, s_full, NEG)
         p = jax.nn.softmax(s_full, axis=-1)
         out_ref[0, 0] = jax.lax.dot_general(
-            p, vb, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
+            p.astype(vb.dtype), vb, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("n_win_per_b", "k_tile"))
@@ -144,7 +153,7 @@ def window_attention_pallas(
     n_win_per_b: int,
     k_tile: int = 512,
 ) -> jnp.ndarray:
-    """Returns [W, head, T, wsz, ch] float32."""
+    """Returns [W, head, T, wsz, ch] in win_q's dtype (f32 accumulation)."""
     n_win, n_head, t, wsz, ch = win_q.shape
     qt = t * wsz
     rl = rolled_k.shape[2]
@@ -184,7 +193,7 @@ def window_attention_pallas(
     out = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_win, n_head, qt, ch), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_win, n_head, qt, ch), win_q.dtype),
         cost_estimate=pl.CostEstimate(
             flops=4 * n_win * n_head * qt * kk * ch,
             bytes_accessed=n_win * n_head * (2 * qt + 2 * rl) * ch * 4,

@@ -12,7 +12,6 @@ scatter-adds with static indices.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 
@@ -59,34 +58,53 @@ def fold(
     """Adjoint of `unfold`: overlap-add patches back onto the canvas.
 
     patches: [N, oh, ow, kh, kw, C]  ->  [N, H, W, C]
+
+    Phase-decomposed for HBM bandwidth: a padded-canvas pixel at position
+    sh*q + a (phase a of the stride) receives only the taps ki = a + sh*d,
+    so each of the sh*sw phases is a sum of <= ceil(kh/sh)*ceil(kw/sw)
+    patch planes at TOKEN resolution, and the full canvas is written once
+    by interleaving the phases (a reshape). The naive per-tap dilated
+    overlap-add touches the full canvas kh*kw times (~13 GB of traffic for
+    FusionFeedForward's 40-channel fold at 640x360); this touches the
+    canvas once plus kh*kw token-sized planes, ~10x less.
     """
     n, oh, ow, kh, kw, c = patches.shape
     h, w = output_size
     (sh, sw), (ph, pw) = stride, padding
-    hp, wp = h + 2 * ph, w + 2 * pw
-    # Each tap (ki, kj) contributes its patch plane on a stride-dilated
-    # grid offset by (ki, kj). lax.pad with interior padding expresses the
-    # dilation + offset as ONE dense op per tap (no XLA scatters, which
-    # are slow to compile and run on TPU).
-    zero = jnp.asarray(0, patches.dtype)
-    out = None
-    for ki in range(kh):
-        lo_h = ki
-        hi_h = hp - (ki + sh * (oh - 1) + 1)
-        for kj in range(kw):
-            lo_w = kj
-            hi_w = wp - (kj + sw * (ow - 1) + 1)
-            plane = jax.lax.pad(
-                patches[:, :, :, ki, kj, :],
-                zero,
-                (
-                    (0, 0, 0),
-                    (lo_h, hi_h, sh - 1),
-                    (lo_w, hi_w, sw - 1),
-                    (0, 0, 0),
-                ),
-            )
-            out = plane if out is None else out + plane
+    dh, dw = -(-kh // sh), -(-kw // sw)  # taps per phase, per dim
+    qh, qw = oh - 1 + dh, ow - 1 + dw  # phase-canvas (token-ish) size
+    phases = []
+    for a in range(sh):
+        for b in range(sw):
+            acc = None
+            for d1 in range(dh):
+                ki = a + sh * d1
+                if ki >= kh:
+                    continue
+                for d2 in range(dw):
+                    kj = b + sw * d2
+                    if kj >= kw:
+                        continue
+                    plane = jnp.pad(
+                        patches[:, :, :, ki, kj, :],
+                        (
+                            (0, 0),
+                            (d1, qh - oh - d1),
+                            (d2, qw - ow - d2),
+                            (0, 0),
+                        ),
+                    )
+                    acc = plane if acc is None else acc + plane
+            if acc is None:
+                acc = jnp.zeros((n, qh, qw, c), patches.dtype)
+            phases.append(acc)
+    # interleave: out_padded[n, sh*q + a, sw*r + b, c] = phases[a*sw+b][n,q,r,c]
+    out = jnp.stack(phases, axis=0).reshape(sh, sw, n, qh, qw, c)
+    out = out.transpose(2, 3, 0, 4, 1, 5).reshape(n, qh * sh, qw * sw, c)
+    pad_h = max(0, ph + h - qh * sh)
+    pad_w = max(0, pw + w - qw * sw)
+    if pad_h or pad_w:
+        out = jnp.pad(out, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
     return out[:, ph : ph + h, pw : pw + w, :]
 
 

@@ -120,6 +120,56 @@ if which in ("stage4", "all"):
     loc = jnp.asarray(rng.standard_normal((G * LT, h, w, 128)).astype(f32) * 0.3, bf16)
     timeit(f"decoder [{G*LT},{h},{w},128]", lambda v: pp.decoder(prm, v), loc)
 
+if which in ("featprop",):
+    # sub-blocks of one _prop_direction_feature step at bench shape
+    from comfyui_propainter_nodes_tpu.utils.weights import random_params
+    from comfyui_propainter_nodes_tpu.models import propainter as pp
+    from comfyui_propainter_nodes_tpu.ops import deform_conv2d, flow_warp
+    from comfyui_propainter_nodes_tpu.ops.conv import pconv2d, leaky_relu
+
+    G, h, w = 4, 90, 160
+    prm = {k: jnp.asarray(v, bf16) for k, v in random_params("inpaint_generator").items()}
+    feat = jnp.asarray(rng.standard_normal((G, h, w, 128)).astype(f32) * 0.3, bf16)
+    flow = jnp.asarray((rng.standard_normal((G, h, w, 2)) * 3).astype(f32), bf16)
+    cond = jnp.asarray(rng.standard_normal((G, h, w, 261)).astype(f32) * 0.3, bf16)
+    da = "feat_prop_module.deform_align.backward_1"
+    bb = "feat_prop_module.backbone.backward_1"
+
+    timeit(
+        f"flow_warp 130ch [{G},{h},{w}]",
+        lambda v: flow_warp(jnp.concatenate([flow, v], axis=-1), flow),
+        feat,
+    )
+
+    def offsets(c_):
+        o = leaky_relu(pconv2d(prm, da + ".conv_offset.0", c_, padding=(1, 1)), 0.1)
+        o = leaky_relu(pconv2d(prm, da + ".conv_offset.2", o, padding=(1, 1)), 0.1)
+        o = leaky_relu(pconv2d(prm, da + ".conv_offset.4", o, padding=(1, 1)), 0.1)
+        return pconv2d(prm, da + ".conv_offset.6", o, padding=(1, 1))
+
+    timeit(f"offset convs x4 [{G},{h},{w},261]", offsets, cond)
+
+    o = offsets(cond)
+    g9 = 16 * 9
+    off = ((3.0 * jnp.tanh(jnp.concatenate([o[..., :g9], o[..., g9:2*g9]], -1))
+            ).reshape(G, h, w, 16, 9, 2) + 1.0).astype(bf16)
+    msk = jax.nn.sigmoid(o[..., 2*g9:]).reshape(G, h, w, 16, 9).astype(bf16)
+    timeit(
+        f"deform_conv2d [{G},{h},{w},128]",
+        lambda v: deform_conv2d(v, off, msk, prm[da + ".weight"], prm[da + ".bias"]),
+        feat,
+    )
+
+    def backbone(v):
+        y = leaky_relu(pconv2d(prm, bb + ".0", v, padding=(1, 1)), 0.2)
+        return pconv2d(prm, bb + ".2", y, padding=(1, 1))
+
+    cond2 = jnp.asarray(rng.standard_normal((G, h, w, 258)).astype(f32) * 0.3, bf16)
+    timeit(f"backbone convs x2 [{G},{h},{w},258]", backbone, cond2)
+
+    da_full = lambda v: pp._deformable_alignment(prm, da, v, cond, flow)
+    timeit(f"deformable_alignment full [{G},{h},{w}]", da_full, feat)
+
 if which in ("raft", "all"):
     from comfyui_propainter_nodes_tpu.utils.weights import random_params
     from comfyui_propainter_nodes_tpu.models import raft as rf
@@ -149,10 +199,13 @@ if which in ("raft", "all"):
     coords = rf.coords_grid(N, h8, w8) + jnp.asarray(
         (rng.standard_normal((N, h8, w8, 2)) * 2).astype(f32)
     )
+    # pyramid goes through *args (a closure would capture 3.4 GB of
+    # constants into the lowered program and wedge the tunnel)
     timeit(
         f"corr lookup x1 [{N},{h8}x{w8}]",
-        lambda c: rf.lookup_corr(pyr, c),
+        lambda c, *pyr_: rf.lookup_corr(list(pyr_), c),
         coords,
+        *pyr,
     )
 
     net = jnp.asarray(rng.standard_normal((N, h8, w8, 128)).astype(f32) * 0.3)
@@ -161,8 +214,11 @@ if which in ("raft", "all"):
     flow = jnp.asarray((rng.standard_normal((N, h8, w8, 2)) * 2).astype(f32))
     timeit(
         f"update block x1 [{N},{h8}x{w8}]",
-        lambda n_: rf._update_block(prm, n_, inp, corr, flow),
+        lambda n_, i_, c_, f_: rf._update_block(prm, n_, i_, c_, f_),
         net,
+        inp,
+        corr,
+        flow,
     )
 
     # whole bidirectional forward for reference (one jit, axon-safe sync
