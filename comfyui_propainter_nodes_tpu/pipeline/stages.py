@@ -519,42 +519,36 @@ class Pipeline:
             build,
         )(prm, sf, sm, su, ff, fb, os_, lt, rf)
 
-    def blend_gather_fn(self, chain_len: int, hw: tuple):
-        """Jitted overlap blending, parallel over frames.
+    def blend_static_fn(self, chains_key: tuple, hw: tuple):
+        """Jitted overlap blending with host-static chains.
 
         The reference's sequential revisit blend
         (propainter_inference.py:294-307) touches each frame through the
         ordered chain of windows containing it — at most
-        ceil(l_t_max / neighbor_stride) ≈ 3 windows. Per FRAME that chain
-        is static, so instead of scanning windows sequentially (every step
-        rewrites the whole video buffer) each frame gathers its own
-        window outputs and folds the uint8 0.5/0.5 chain in `chain_len`
-        fully-parallel steps. Bit-identical to the scan (same floors,
-        same order — a frame's revisits arrive in window order)."""
+        ceil(l_t_max / neighbor_stride) ≈ 3 windows. The chain is known on
+        the HOST (it is pure window-plan arithmetic), so every pick is a
+        static slice — no device gathers at all (a dynamic-gather variant
+        of this blend cost 0.46 s/24f on TPU; static slices are ~free).
+        Bit-identical to the reference scan (same floors, same order).
+
+        chains_key: per-frame tuple of (window, slot) visit pairs.
+        """
 
         def build():
-            def f(imgs, win_idx, slot_idx, valid):
-                # imgs [nW, l_t_max, H, W, 3]; win/slot/valid [T, L]
-                comp = imgs[win_idx[:, 0], slot_idx[:, 0]]  # [T, H, W, 3]
-                for i in range(1, chain_len):
-                    nxt = imgs[win_idx[:, i], slot_idx[:, i]]
-                    blended = jnp.floor(0.5 * nxt + 0.5 * comp)
-                    v = valid[:, i][:, None, None, None]
-                    comp = jnp.where(v, blended, comp)
-                return comp
+            def f(imgs):
+                # imgs [nW, l_t_max, H, W, 3] float 0..255
+                outs = []
+                for chain in chains_key:
+                    w0, s0 = chain[0]
+                    comp = imgs[w0, s0]
+                    for wi, si in chain[1:]:
+                        comp = jnp.floor(0.5 * imgs[wi, si] + 0.5 * comp)
+                    outs.append(comp)
+                return jnp.stack(outs)
 
             return f
 
-        def run(imgs, win_idx, slot_idx, valid):
-            t = win_idx.shape[0]
-            fn = self.jits.get(
-                "blend_gather",
-                (imgs.shape[0], imgs.shape[1], chain_len, t) + tuple(hw),
-                build,
-            )
-            return fn(imgs, win_idx, slot_idx, valid)
-
-        return run
+        return self.jits.get("blend_static", (chains_key,) + tuple(hw), build)
 
     def feature_window_fn(self, l_t_max: int, ref_max: int, hw: tuple):
         """Jitted one-window transformer + uint8 composite + overlap blend
@@ -708,24 +702,11 @@ class Pipeline:
         for wi, (nids, _) in enumerate(windows):
             for slot, i in enumerate(nids):
                 chains[i].append((wi, slot))
-        chain_len = max(2, max(len(c) for c in chains))
-        win_idx = np.zeros((t, chain_len), np.int32)
-        slot_idx = np.zeros((t, chain_len), np.int32)
-        valid = np.zeros((t, chain_len), np.bool_)
-        for i, chain in enumerate(chains):
-            for j, (wi, slot) in enumerate(chain):
-                win_idx[i, j], slot_idx[i, j], valid[i, j] = wi, slot, True
-            for j in range(len(chain), chain_len):  # inert repeats
-                win_idx[i, j], slot_idx[i, j] = chain[-1][0], chain[-1][1]
+        chains_key = tuple(tuple(c) for c in chains)
 
-        blend_fn = self.blend_gather_fn(chain_len, updated_frames.shape[2:4])
+        blend_fn = self.blend_static_fn(chains_key, updated_frames.shape[2:4])
         with stage_timer("blend") as tm:
-            composed = tm.set(blend_fn(
-                jnp.stack(imgs_per_window),
-                jnp.asarray(win_idx),
-                jnp.asarray(slot_idx),
-                jnp.asarray(valid),
-            ))
+            composed = tm.set(blend_fn(jnp.stack(imgs_per_window)))
         return composed[:t]
 
     # ------------------------------------------------------------ full run
