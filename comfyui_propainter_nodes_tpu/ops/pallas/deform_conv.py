@@ -4,18 +4,25 @@ The XLA formulation in ops/deform_conv.py lowers its per-(group, tap)
 bilinear gather to scalarized dynamic slices (~100 ms/frame at the
 pipeline's 90x160x128 working shape). TPUs have no vector gather — but
 they have an MXU. This kernel reformulates bilinear sampling as two
-SEPARABLE ONE-HOT CONTRACTIONS, laid out pixel-on-LANES so the
-per-(group, tap) pixel scalars are dense [1, TILE] row vectors (the
-pixel-on-sublanes variant padded every scalar vector to 128 lanes and
-blew VMEM once all 144 (g, k) pairs shared one grid step):
+SEPARABLE TENT-WEIGHT CONTRACTIONS, laid out pixel-on-LANES:
 
-    for (g, k):                       # one grid step per pixel tile
-      oyT[h, p]    = two-hot bilinear row weights      (iota compare)
-      tmpT[wc, p]  = xgT[wc, h] @ oyT[h, p]            (MXU)
-      sT[c, p]     = SELT[c, wc] @ (tmpT * oxT_rep)    (MXU segment sum)
-      accT[co, p] += wkT[co, c] @ (sT * mask)          (MXU)
+    for y-band b (static, skipped unless sampled):   # BAND rows of x
+      for (g, k):
+        oxT[w, p]        = tent(cols - sx)                  (VPU)
+        tmpT[b*cg, p]    = xgT[b*cg, w] @ oxT[w, p]         (MXU)
+        sT[cg, p]        = sum_b tmpT[b, cg, p] * oyT[b, p] (VPU)
+        outT[co, p]     += wkT[co, cg] @ (sT * mask)        (MXU)
 
-Out-of-bounds taps never match the iota -> exact "zeros" padding.
+Bilinear weights are tents, so a pixel's y-contribution lives entirely
+in rows [floor(sy), floor(sy)+1] and the sum over y-bands is exact.
+Both model call sites bound the learned offset residual with `A*tanh`
+(our models/propainter.py:103, models/flow_completion.py:102), so the
+rows sampled by one tile of 512 consecutive pixels span ~(tile rows +
+taps + residual + local flow spread) — the kernel computes the exact
+[min, max] row range per tile and `pl.when`-skips every y-band outside
+it: typically 1-2 of ceil(h/BAND) bands execute. Out-of-bounds taps get
+exact-zero tent weights -> torchvision "zeros" padding semantics.
+
 Semantics identical to ops.deform_conv2d_xla (stride 1, dilation 1,
 torchvision layout; reference call sites model/propainter.py:73-82,
 model/recurrent_flow_completion.py:44-53).
@@ -31,45 +38,74 @@ from jax.experimental import pallas as pl
 
 
 TILE = 512  # pixels per grid step, on the lane axis
+BAND = 24  # y-rows per band
 
 
-def _kernel(sy_ref, sx_ref, mask_ref, x_ref, w_ref, out_ref, *, h, w, cg, g, k):
-    wcg = w * cg
-    # tpu.iota is integer-only; build int then cast
-    rows_t = jax.lax.broadcasted_iota(jnp.int32, (h, TILE), 0).astype(jnp.float32)
-    colsr_t = (
-        jax.lax.broadcasted_iota(jnp.int32, (wcg, TILE), 0) // cg
-    ).astype(jnp.float32)
-    # {0,1} per-channel segment-sum matrix over the w-major layout
-    sel_t = (
-        jax.lax.broadcasted_iota(jnp.int32, (cg, wcg), 1) % cg
-        == jax.lax.broadcasted_iota(jnp.int32, (cg, wcg), 0)
-    ).astype(jnp.float32)
+def _kernel(
+    lo_ref, hi_ref, sy_ref, sx_ref, mask_ref, x_ref, w_ref, out_ref, *, h, w, cg, g, k
+):
+    cols_t = jax.lax.broadcasted_iota(jnp.int32, (w, TILE), 0).astype(jnp.float32)
+    n_bands = -(-h // BAND)
 
-    acc = jnp.zeros((out_ref.shape[0], TILE), jnp.float32)
-    for gi in range(g):
-        xg_t = x_ref[gi]  # [w*cg, h]
-        for ki in range(k):
-            sy = sy_ref[gi, ki, 0]  # [1, TILE]
-            sx = sx_ref[gi, ki, 0]
-            m = mask_ref[gi, ki, 0]
-            # bilinear weights ARE the tent function: rows floor(s) and
-            # floor(s)+1 get (1-frac, frac), everything else (incl. fully
-            # out-of-bounds taps and the -10 pixel padding) gets exact 0 —
-            # 3 VPU ops instead of the v1 iota-compare two-hot (which was
-            # the kernel's VPU bottleneck)
-            oy_t = jnp.maximum(1.0 - jnp.abs(rows_t - sy), 0.0)  # [h, TILE]
-            ox_t = jnp.maximum(1.0 - jnp.abs(colsr_t - sx), 0.0)  # [w*cg, TILE]
-            tmp_t = jnp.dot(
-                xg_t, oy_t.astype(xg_t.dtype), preferred_element_type=jnp.float32
-            )  # [w*cg, TILE]
-            s_t = jnp.dot(
-                sel_t, tmp_t * ox_t, preferred_element_type=jnp.float32
-            )  # [cg, TILE]
-            s_t = s_t * m
-            wk_t = w_ref[gi, ki].astype(jnp.float32)  # [cout, cg]
-            acc = acc + jnp.dot(wk_t, s_t, preferred_element_type=jnp.float32)
-    out_ref[...] = acc
+    def band_body(start, bsz, accumulate):
+        # single fori_loop body over (g, k): an unrolled loop would give
+        # every iteration's MXU output its own VMEM stack slot (144 x
+        # ~128 KB blows the 16 MB scoped-vmem limit)
+        rows_t = (
+            jax.lax.broadcasted_iota(jnp.int32, (bsz, TILE), 0) + start
+        ).astype(jnp.float32)
+
+        def g_body(gi, acc):
+            # k unrolled (9 iterations pipeline the MXU); g looped so the
+            # per-iteration buffers don't multiply by 144
+            xg_m = x_ref[pl.ds(gi, 1), pl.ds(start, bsz)].reshape(bsz * cg, w)
+            for ki in range(k):
+                sy = sy_ref[pl.ds(gi, 1), ki, 0].reshape(1, TILE)
+                sx = sx_ref[pl.ds(gi, 1), ki, 0].reshape(1, TILE)
+                m = mask_ref[pl.ds(gi, 1), ki, 0].reshape(1, TILE)
+                # tent weights ARE the bilinear kernel: rows/cols floor(s)
+                # and floor(s)+1 get (1-frac, frac), everything else
+                # (incl. fully out-of-bounds taps and the -10 pixel
+                # padding) gets exact 0
+                ox_t = jnp.maximum(1.0 - jnp.abs(cols_t - sx), 0.0)  # [w, TILE]
+                oy_t = jnp.maximum(1.0 - jnp.abs(rows_t - sy), 0.0)  # [bsz, TILE]
+                tmp_t = jnp.dot(
+                    xg_m, ox_t.astype(xg_m.dtype), preferred_element_type=jnp.float32
+                )  # [bsz*cg, TILE]
+                s_t = jnp.sum(
+                    tmp_t.reshape(bsz, cg, TILE) * oy_t[:, None, :], axis=0
+                )  # [cg, TILE]
+                s_t = s_t * m
+                wk_t = w_ref[pl.ds(gi, 1), ki].reshape(
+                    out_ref.shape[0], cg
+                ).astype(jnp.float32)
+                acc = acc + jnp.dot(wk_t, s_t, preferred_element_type=jnp.float32)
+            return acc
+
+        acc = jax.lax.fori_loop(
+            0, g, g_body, jnp.zeros((out_ref.shape[0], TILE), jnp.float32)
+        )
+        out_ref[...] = out_ref[...] + acc if accumulate else acc
+
+    if n_bands == 1:
+        band_body(0, h, accumulate=False)
+        return
+
+    # row range actually sampled by this tile (reduced outside, in XLA);
+    # iterate only the bands inside it — ONE loop body instance, so the
+    # kernel's VMEM stack does not scale with the band count
+    pt = pl.program_id(0)
+    lo = lo_ref[pt, 0]
+    hi = hi_ref[pt, 0]
+    b0 = jnp.maximum(lo // BAND, 0)
+    b1 = jnp.minimum(hi // BAND + 1, n_bands)
+    out_ref[...] = jnp.zeros_like(out_ref)
+
+    def loop_body(b, carry):
+        band_body(b * BAND, BAND, accumulate=True)
+        return carry
+
+    jax.lax.fori_loop(b0, b1, loop_body, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("padding",))
@@ -119,7 +155,7 @@ def deform_conv2d_pallas(
     hw_pad = n_tiles * TILE
     if hw_pad != hw:
         padp = ((0, 0), (0, 0), (0, 0), (0, hw_pad - hw))
-        sy = jnp.pad(sy, padp, constant_values=-10.0)  # never matches iota
+        sy = jnp.pad(sy, padp, constant_values=-10.0)  # zero tent weight
         sx = jnp.pad(sx, padp, constant_values=-10.0)
         mk = jnp.pad(mk, padp)
     # pixels on LANES: [N, G, K, n_tiles, 1, TILE]
@@ -127,39 +163,57 @@ def deform_conv2d_pallas(
     sx = sx.reshape(n, g, k, n_tiles, 1, TILE)
     mk = mk.reshape(n, g, k, n_tiles, 1, TILE)
 
-    # x grouped, w-major flattened, TRANSPOSED [N, G, W*Cg, H];
-    # weight [G, K, Cout, Cg]
-    xg = (
-        x.reshape(n, h, w, g, cg)
-        .transpose(0, 3, 2, 4, 1)
-        .reshape(n, g, w * cg, h)
-    )
+    # per-tile sampled row range (drives the kernel's y-band skipping);
+    # -10 pixel padding excluded so it never drags lo below 0
+    syv = jnp.where(sy > -5.0, sy, jnp.float32(1e9))
+    lo_t = jnp.floor(jnp.min(syv, axis=(1, 2, 4, 5))).astype(jnp.int32)
+    syv = jnp.where(sy > -5.0, sy, jnp.float32(-1e9))
+    hi_t = jnp.floor(jnp.max(syv, axis=(1, 2, 4, 5))).astype(jnp.int32) + 1
+    lo_t = lo_t.reshape(n, n_tiles, 1)  # [N, n_tiles, 1]
+    hi_t = hi_t.reshape(n, n_tiles, 1)
+
+    # x grouped, y-band sliceable: [N, G, Hpad, Cg, W]; weight [G, K, Cout, Cg].
+    # h zero-padded to a band multiple: out-of-range tent rows then hit
+    # exact zeros, preserving torchvision "zeros" padding semantics.
+    h_pad = -(-h // BAND) * BAND if h > BAND else h
+    xg = x.reshape(n, h, w, g, cg).transpose(0, 3, 1, 4, 2)
+    if h_pad != h:
+        xg = jnp.pad(xg, ((0, 0), (0, 0), (0, h_pad - h), (0, 0), (0, 0)))
     wg = weight.reshape(k, g, cg, cout).transpose(1, 0, 3, 2).astype(jnp.float32)
 
     grid = (n_tiles,)
     kern = functools.partial(_kernel, h=h, w=w, cg=cg, g=g, k=k)
+    band = min(BAND, h)
 
-    def run_one(xg1, sy1, sx1, mk1):
+    from jax.experimental.pallas import tpu as pltpu
+
+    def run_one(xg1, sy1, sx1, mk1, lo1, hi1):
         return pl.pallas_call(
             kern,
             grid=grid,
             in_specs=[
+                pl.BlockSpec(
+                    (n_tiles, 1), lambda pt: (0, 0), memory_space=pltpu.SMEM
+                ),
+                pl.BlockSpec(
+                    (n_tiles, 1), lambda pt: (0, 0), memory_space=pltpu.SMEM
+                ),
                 pl.BlockSpec((g, k, 1, 1, TILE), lambda pt: (0, 0, pt, 0, 0)),
                 pl.BlockSpec((g, k, 1, 1, TILE), lambda pt: (0, 0, pt, 0, 0)),
                 pl.BlockSpec((g, k, 1, 1, TILE), lambda pt: (0, 0, pt, 0, 0)),
-                pl.BlockSpec((g, w * cg, h), lambda pt: (0, 0, 0)),
+                pl.BlockSpec((g, h_pad, cg, w), lambda pt: (0, 0, 0, 0)),
                 pl.BlockSpec((g, k, cout, cg), lambda pt: (0, 0, 0, 0)),
             ],
             out_specs=pl.BlockSpec((cout, TILE), lambda pt: (0, pt)),
             out_shape=jax.ShapeDtypeStruct((cout, hw_pad), jnp.float32),
             cost_estimate=pl.CostEstimate(
-                flops=2 * hw_pad * g * k * (h * w * cg + cg * cout),
+                flops=2 * hw_pad * g * k * (2 * band * cg * w + cg * cout),
                 bytes_accessed=hw_pad * g * k * 12 + g * h * w * cg * 2,
                 transcendentals=0,
             ),
-        )(sy1, sx1, mk1, xg1, wg)
+        )(lo1, hi1, sy1, sx1, mk1, xg1, wg)
 
-    out = jax.vmap(run_one)(xg, sy, sx, mk)  # [N, Cout, hw_pad]
+    out = jax.vmap(run_one)(xg, sy, sx, mk, lo_t, hi_t)  # [N, Cout, hw_pad]
     out = out[:, :, :hw].transpose(0, 2, 1).reshape(n, h, w, cout)
     if bias is not None:
         out = out + bias.astype(out.dtype)
