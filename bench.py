@@ -124,7 +124,7 @@ def main() -> None:
     fps = t / dt
     log(f"steady: {dt:.2f}s -> {fps:.2f} frames/s")
 
-    if os.environ.get("BENCH_STAGE_SPLIT", "1") == "1":
+    if os.environ.get("BENCH_STAGE_SPLIT", "0") == "1":
         # extra run with blocking timers: per-stage attribution that sums
         # to ~wall time (serializes stages, so measured separately)
         profiling.set_blocking(True)

@@ -323,14 +323,24 @@ def _sep_conv_gru(p: Params, h: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _update_block(p: Params, net, inp, corr, flow):
-    """update.py:131-154 BasicUpdateBlock."""
+    """update.py:131-154 BasicUpdateBlock (sans mask head — see
+    `_upsample_mask`)."""
     motion = _motion_encoder(p, flow, corr)
     net = _sep_conv_gru(p, net, jnp.concatenate([inp, motion], axis=-1))
     fh = jax.nn.relu(pconv2d(p, "update_block.flow_head.conv1", net, padding=(1, 1)))
     delta_flow = pconv2d(p, "update_block.flow_head.conv2", fh, padding=(1, 1))
+    return net, delta_flow
+
+
+def _upsample_mask(p: Params, net):
+    """update.py:139-153 mask head. The reference evaluates it every
+    iteration (training supervises per-iter upsampled flows) but inference
+    consumes only the FINAL iteration's mask (raft.py:144-151, test_mode),
+    and it is a pure function of that iteration's post-GRU `net` — so the
+    TPU build hoists it out of the scan: ~14% of the update loop's FLOPs
+    for bit-identical output."""
     m = jax.nn.relu(pconv2d(p, "update_block.mask.0", net, padding=(1, 1)))
-    up_mask = 0.25 * pconv2d(p, "update_block.mask.2", m)
-    return net, up_mask, delta_flow
+    return 0.25 * pconv2d(p, "update_block.mask.2", m)
 
 
 def convex_upsample(flow: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
@@ -382,20 +392,20 @@ def raft_forward(
 
     coords0 = coords_grid(n, h // 8, w // 8)
     coords1 = coords0
-    up_mask0 = jnp.zeros((n, h // 8, w // 8, 64 * 9), jnp.float32)
 
     def step(carry, _):
-        net, coords1, _ = carry
+        net, coords1 = carry
         corr = lookup_corr(pyramid, coords1)
         flow = coords1 - coords0
-        net, up_mask, delta = _update_block(
+        net, delta = _update_block(
             params, net, inp, corr.astype(cdt), flow.astype(cdt)
         )
-        return (net, coords1 + delta.astype(jnp.float32), up_mask), None
+        return (net, coords1 + delta.astype(jnp.float32)), None
 
-    (net, coords1, up_mask), _ = jax.lax.scan(
-        step, (net, coords1, up_mask0.astype(cdt)), None, length=iters
+    (net, coords1), _ = jax.lax.scan(
+        step, (net, coords1), None, length=iters
     )
+    up_mask = _upsample_mask(params, net)
     return convex_upsample(coords1 - coords0, up_mask.astype(jnp.float32))
 
 
@@ -442,21 +452,20 @@ def raft_bi_forward(
 
     coords0 = coords_grid(2 * n, h8, w8)
     coords1 = coords0
-    up_mask0 = jnp.zeros((2 * n, h8, w8, 64 * 9), cdt)
 
     def step(carry, _):
-        net, coords1, _ = carry
+        net, coords1 = carry
         corr = lookup_corr(pyramid, coords1, padded=not unpadded)
         flow = coords1 - coords0
-        net, up_mask, delta = _update_block(
+        net, delta = _update_block(
             params, net, inp, corr.astype(cdt), flow.astype(cdt)
         )
-        return (net, coords1 + delta.astype(jnp.float32), up_mask), None
+        return (net, coords1 + delta.astype(jnp.float32)), None
 
-    (net, coords1, up_mask), _ = jax.lax.scan(
-        step, (net, coords1, up_mask0), None, length=iters
+    (net, coords1), _ = jax.lax.scan(
+        step, (net, coords1), None, length=iters
     )
-    flows = convex_upsample(coords1 - coords0, up_mask.astype(jnp.float32))
+    flows = convex_upsample(coords1 - coords0, _upsample_mask(params, net).astype(jnp.float32))
     return (
         flows[:n].reshape(b, t - 1, h, w, 2),
         flows[n:].reshape(b, t - 1, h, w, 2),

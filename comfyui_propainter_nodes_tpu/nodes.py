@@ -19,6 +19,7 @@ import jax.numpy as jnp
 from .config import ImageConfig, OutpaintConfig, PipelineConfig
 from .pipeline.stages import Pipeline
 from .utils import image as image_utils
+from .utils import profiling
 from .utils import weights as weights_zoo
 from .utils.metrics import RunRecorder
 
@@ -40,6 +41,62 @@ def _upload_frames(frames: np.ndarray) -> jnp.ndarray:
     if frames.dtype == np.uint8:
         return jnp.asarray(frames).astype(jnp.float32) / 255.0
     return jnp.asarray(frames.astype(np.float32, copy=False))
+
+
+def _to_u8(a: np.ndarray) -> np.ndarray:
+    """Host byte quantization, matching the reference's PIL round-trip
+    (convert_image_to_frames / convert_mask_to_frames truncate via
+    astype: utils/image_utils.py:106-139)."""
+    if a.dtype == np.uint8:
+        return a
+    return np.floor(np.clip(a * 255.0, 0.0, 255.0)).astype(np.uint8)
+
+
+def _host_resize_u8(stack_u8: np.ndarray, pw: int, ph: int):
+    """PIL bicubic resize of a [T, H, W(, C)] uint8 stack — the
+    reference's own prep (utils/image_utils.py:98-103). Returns None when
+    PIL is unavailable (callers fall back to on-device resize)."""
+    if stack_u8.shape[1] == ph and stack_u8.shape[2] == pw:
+        return stack_u8
+    try:
+        from PIL import Image
+    except ImportError:
+        return None
+    out = np.empty(
+        (stack_u8.shape[0], ph, pw) + stack_u8.shape[3:], np.uint8
+    )
+    for i, fr in enumerate(stack_u8):
+        out[i] = np.asarray(Image.fromarray(fr).resize((pw, ph)))
+    return out
+
+
+def _mask_crop_plan(
+    masks_bin: np.ndarray, ph: int, pw: int, pad: int
+) -> tuple[int, int, int, int]:
+    """(y0, x0, ch, cw): the union bounding box of the masks grown by the
+    dilation radius `pad`, bucketed to multiples of 32 (static jit
+    shapes). The composed video equals the original outside the dilated
+    mask (see Pipeline.process_node), so only this crop is fetched."""
+    any_t = masks_bin.any(axis=0)
+    rows = any_t.any(axis=1)
+    cols = any_t.any(axis=0)
+    if not rows.any():
+        return 0, 0, min(32, ph), min(32, pw)
+
+    def span(flags, size):
+        a = int(flags.argmax())
+        b = size - int(flags[::-1].argmax())
+        a = max(0, a - pad)
+        b = min(size, b + pad)
+        length = min(size, -(-(b - a) // 32) * 32)
+        a = min(a, size - length)
+        return a, length
+
+    y0, ch = span(rows, ph)
+    x0, cw = span(cols, pw)
+    if ch * cw >= 0.7 * ph * pw:  # crop barely helps; fetch whole frames
+        return 0, 0, ph, pw
+    return y0, x0, ch, cw
 
 
 def _to_output(x: np.ndarray):
@@ -166,39 +223,81 @@ class ProPainterInpaint:
             process_size=(pw, ph),
         )
 
-        frames_norm, original = image_utils.prepare_frames(
-            _upload_frames(frames), pw, ph
-        )
-        if masks.shape[0] == 1:
-            masks = np.broadcast_to(masks, (frames.shape[0],) + masks.shape[1:])
-        masks_dev = jnp.asarray(masks)
-        if masks.dtype == np.uint8:
-            masks_dev = masks_dev.astype(jnp.float32) / 255.0
-        flow_masks, masks_dilated = image_utils.prepare_masks(
-            masks_dev, pw, ph, flow_mask_dilates, mask_dilates
-        )
+        t = frames.shape[0]
+        frames_u8 = _to_u8(frames)
+        masks_u8 = _to_u8(masks)
+        if masks_u8.shape[0] == 1:
+            masks_u8 = np.broadcast_to(masks_u8, (t,) + masks_u8.shape[1:])
+        pad = max(flow_mask_dilates, mask_dilates) + 1
+        dilates = (flow_mask_dilates, mask_dilates)
+
+        # resize on host (the reference's own prep, PIL bicubic:
+        # utils/image_utils.py:98-103) so only process-size uint8 frames
+        # and bit-packed binary masks cross the host->device link
+        frames_r = _host_resize_u8(frames_u8, pw, ph)
+        masks_r = _host_resize_u8(masks_u8, pw, ph)
 
         pipe = get_pipeline(config, _allow_random_weights)
-        with RunRecorder("inpaint", config, frames.shape[0]):
-            composed = pipe.process(
-                frames_norm[None], flow_masks[None], masks_dilated[None], original
-            )
-            # fetch as uint8 (values are exact integers): 4x less
-            # host-transfer; normalize to [0, 1] on host
+        pipe.progress = profiling.NodeProgress(t)
+        with RunRecorder("inpaint", config, t):
+            if frames_r is not None and masks_r is not None:
+                masks_bin = masks_r != 0
+                crop = _mask_crop_plan(masks_bin, ph, pw, pad)
+                comp_crop, fm_bits, md_bits = pipe.process_node(
+                    jnp.asarray(frames_r),
+                    jnp.asarray(np.packbits(masks_bin, axis=-1)),
+                    crop,
+                    dilates,
+                )
+            else:
+                # no PIL on the host: resize frames+masks on device; the
+                # crop plan projects the input-res mask bbox to process
+                # coords (nearest) with a 4px bicubic-spill margin
+                h_in, w_in = masks_u8.shape[1], masks_u8.shape[2]
+                iy = np.minimum(
+                    (np.arange(ph) * h_in / ph).astype(int), h_in - 1
+                )
+                ix = np.minimum(
+                    (np.arange(pw) * w_in / pw).astype(int), w_in - 1
+                )
+                approx = (masks_u8 != 0)[:, iy][:, :, ix]
+                crop = _mask_crop_plan(approx, ph, pw, pad + 4)
+                comp_crop, fm_bits, md_bits = pipe.process_node(
+                    jnp.asarray(frames_u8),
+                    jnp.asarray(masks_u8),
+                    crop,
+                    dilates,
+                    mask_resize=(h_in, w_in),
+                )
+            y0, x0, chh, cww = crop
+            crop_np = np.asarray(comp_crop).astype(np.float32) / 255.0
+
+        # paste the crop back over the (host-known) original frames
+        if frames_r is not None:
+            out_images = frames_r.astype(np.float32) / 255.0
+        else:
+            # device resize path: fetch the full original bytes once
             out_images = (
-                np.asarray(composed.astype(jnp.uint8)).astype(np.float32) / 255.0
+                np.asarray(
+                    image_utils.prepare_frames(
+                        _upload_frames(frames_u8), pw, ph
+                    )[1].astype(jnp.uint8)
+                ).astype(np.float32)
+                / 255.0
             )
-        # masks are binary 0/1: fetch as uint8 (4x less transfer)
-        out_flow_masks = (
-            np.asarray(flow_masks.astype(jnp.uint8)).astype(np.float32).squeeze()
-        )
-        out_masks_dilated = (
-            np.asarray(masks_dilated.astype(jnp.uint8)).astype(np.float32).squeeze()
-        )
+        out_images[:, y0 : y0 + chh, x0 : x0 + cww] = crop_np
+
+        def unpack_full(bits) -> np.ndarray:
+            full = np.zeros((t, ph, pw), np.float32)
+            full[:, y0 : y0 + chh, x0 : x0 + cww] = np.unpackbits(
+                np.asarray(bits), axis=-1, count=cww
+            )
+            return full.squeeze()
+
         return (
             _to_output(out_images),
-            _to_output(out_flow_masks),
-            _to_output(out_masks_dilated),
+            _to_output(unpack_full(fm_bits)),
+            _to_output(unpack_full(md_bits)),
         )
 
 
@@ -270,23 +369,48 @@ class ProPainterOutpaint:
             process_size=(cw, chh),
         )
 
-        canvas, flow_masks, masks_dilated = image_utils.extrapolate_frames(
-            _upload_frames(frames), pw, ph, cw, chh
-        )
-        original = jnp.floor(jnp.clip(canvas * 255.0, 0.0, 255.0))
-        frames_norm = canvas * 2.0 - 1.0
+        t = frames.shape[0]
+        frames_u8 = _to_u8(frames)
+        frames_r = _host_resize_u8(frames_u8, pw, ph)
+        resize_on_device = frames_r is None
+        upload = frames_u8 if resize_on_device else frames_r
 
         pipe = get_pipeline(config, _allow_random_weights)
-        with RunRecorder("outpaint", config, frames.shape[0]):
-            composed = pipe.process(
-                frames_norm[None], flow_masks[None], masks_dilated[None], original
+        pipe.progress = profiling.NodeProgress(t)
+        with RunRecorder("outpaint", config, t):
+            bands = pipe.process_node_outpaint(
+                jnp.asarray(upload), (ph, pw), (chh, cw), resize=resize_on_device
             )
-            out_images = (
-                np.asarray(composed.astype(jnp.uint8)).astype(np.float32) / 255.0
+            bands = [np.asarray(b) for b in bands]
+
+        # paste: interior is the host's own bytes (composed == original
+        # inside the un-masked window, exactly); bands fill the ring
+        out = np.zeros((t, chh, cw, 3), np.uint8)
+        h_start = (chh - ph) // 2
+        w_start = (cw - pw) // 2
+        if resize_on_device:
+            interior = np.asarray(
+                image_utils.prepare_frames(_upload_frames(frames_u8), pw, ph)[
+                    1
+                ].astype(jnp.uint8)
             )
-        out_masks = (
-            np.asarray(masks_dilated.astype(jnp.uint8)).astype(np.float32).squeeze()
-        )
+        else:
+            interior = frames_r
+        out[:, h_start : h_start + ph, w_start : w_start + pw] = interior
+        bi = iter(bands)
+        if h_start:
+            out[:, :h_start] = next(bi)
+            out[:, h_start + ph :] = next(bi)
+        if w_start:
+            out[:, h_start : h_start + ph, :w_start] = next(bi)
+            out[:, h_start : h_start + ph, w_start + pw :] = next(bi)
+        out_images = out.astype(np.float32) / 255.0
+
+        # the outpaint mask ring is static geometry — built on host
+        # (utils/image_utils.py:237-252 semantics)
+        mask = np.ones((chh, cw), np.float32)
+        mask[h_start : h_start + ph, w_start : w_start + pw] = 0.0
+        out_masks = np.broadcast_to(mask[None], (t, chh, cw)).copy().squeeze()
         return (_to_output(out_images), _to_output(out_masks), cw, chh)
 
 

@@ -1,19 +1,35 @@
 """Pipeline stages: flow -> completion -> image prop -> feature prop.
 
 Orchestrates the four stages of the reference driver
-(propainter_inference.py:61-341) as jitted chunk programs:
+(propainter_inference.py:61-341) as jitted programs:
 
-  * chunk boundaries replicate the reference exactly (they define output
-    semantics): RAFT width-bucketed clips with 1-frame overlap (:65-93),
-    flow-completion subvideo chunks with 5-frame halo (:115-144),
-    image-propagation chunks of <=100 with 10-frame halo (:172-212),
-    sliding neighbor windows with global refs (:254-307);
-  * each distinct chunk shape compiles once (JitCache) and runs on
-    device end-to-end — composition and overlap blending included, so the
-    video transfers to host exactly once (the reference round-trips every
-    window: propainter_inference.py:286-293);
-  * bf16 ("fp16 enable" on TPU) applies to flow completion + inpainting,
-    RAFT stays fp32 (utils/model_utils.py:55-58).
+  * chunk boundaries replicate the reference exactly where they define
+    output semantics: flow-completion subvideo chunks with 5-frame halo
+    (:115-144), image-propagation chunks of <=100 with 10-frame halo
+    (:172-212), sliding neighbor windows with global refs (:254-307).
+    RAFT's width-bucketed clip chunking (:65-93) is pure memory
+    management (every flow pair is independent), so the TPU build frees
+    itself to batch all pairs at once when HBM allows;
+  * ALL per-stage glue — dtype casts, pads, chunk slicing, window
+    gathers, uint8 composition, overlap blending — is traced INSIDE the
+    stage programs. A stage is ONE device dispatch. (Round-2 ran this
+    glue as eager ops between dispatches; on a remote-tunneled TPU each
+    eager op costs tens of ms of host round-trip, which added up to
+    ~2.5s of the 5.6s/24f wall time — more than any single stage's
+    device compute.);
+  * when the whole clip fits a single subvideo chunk (the common node
+    invocation), `process` fuses all four stages into ONE compiled
+    XLA program: one dispatch, one host->device upload, one fetch, and
+    XLA is free to overlap/fuse across stage boundaries;
+  * the overlap blend (propainter_inference.py:294-307) is a
+    T-independent `lax.scan` over windows on a frame canvas — one
+    compile for any video length (round-2 unrolled one slice-chain per
+    frame, which re-compiled per T and traced O(T) programs);
+  * bf16 ("fp16 enable" on TPU) applies to flow completion + inpainting.
+    RAFT defaults to bf16 params/convs with fp32 flow state, corr
+    volume and upsampling (config.raft_bf16; the reference pins fp16
+    RAFT off because CUDA fp16 overflows — bf16 has fp32 exponent
+    range, see config.py).
 """
 
 from __future__ import annotations
@@ -29,7 +45,7 @@ from ..config import PipelineConfig
 from ..models import flow_completion as fc
 from ..models import propainter as pp
 from ..models import raft
-from ..utils.profiling import stage_timer
+from ..utils.profiling import callbacks_supported, progress_report, stage_timer
 
 
 class JitCache:
@@ -77,6 +93,77 @@ def get_ref_index(
     return ref_index
 
 
+# ---------------------------------------------------------------- host plans
+#
+# Everything the reference decides with Python control flow over T —
+# chunk bounds, window neighbor/ref ids, blend visit order — is pure
+# arithmetic on (T, config). These plans are computed ON THE HOST once
+# per (T, config) and baked into the traced programs as static data.
+
+
+def flow_chunk_plan(cfg: PipelineConfig, t: int) -> list[tuple[int, int]]:
+    """RAFT clip bounds with 1-frame overlap (propainter_inference.py:75-93)."""
+    clip = cfg.raft_chunk_len()
+    bounds = []
+    for c in range(0, t, clip):
+        end_f = min(t, c + clip)
+        s = c if c == 0 else c - 1
+        bounds.append((s, end_f))
+    return bounds
+
+
+def complete_chunk_plan(cfg: PipelineConfig, flow_length: int):
+    """(start, end, lead_halo, tail_halo) per subvideo chunk
+    (propainter_inference.py:115-144)."""
+    sub = cfg.subvideo_length
+    pad_len = 5
+    bounds = []
+    for f in range(0, flow_length, sub):
+        s_f = max(0, f - pad_len)
+        e_f = min(flow_length, f + sub + pad_len)
+        bounds.append((s_f, e_f, f - s_f, e_f - min(flow_length, f + sub)))
+    return bounds, sub + 2 * pad_len
+
+
+def imgprop_chunk_plan(cfg: PipelineConfig, t: int):
+    """<=100-frame chunks with 10-frame halo (propainter_inference.py:172-212)."""
+    sub = min(100, cfg.subvideo_length)
+    pad_len = 10
+    bounds = []
+    for f in range(0, t, sub):
+        s_f = max(0, f - pad_len)
+        e_f = min(t, f + sub + pad_len)
+        bounds.append((s_f, e_f, f - s_f, e_f - min(t, f + sub)))
+    return bounds, sub + 2 * pad_len
+
+
+def window_plan(cfg: PipelineConfig, t: int):
+    """Sliding windows + global refs (propainter_inference.py:254-261)."""
+    neighbor_stride = cfg.neighbor_stride
+    ref_num = (
+        cfg.subvideo_length // cfg.ref_stride if t > cfg.subvideo_length else -1
+    )
+    windows = []
+    for f in range(0, t, neighbor_stride):
+        neighbor_ids = list(
+            range(max(0, f - neighbor_stride), min(t, f + neighbor_stride + 1))
+        )
+        ref_ids = get_ref_index(f, neighbor_ids, t, cfg.ref_stride, ref_num)
+        windows.append((neighbor_ids, ref_ids))
+    return windows
+
+
+def _window_group_size(n_windows: int, dp: int) -> int:
+    """Windows per batched forward. Default: all windows in one group
+    (one dispatch, zero padding waste) capped at 8 for activation memory
+    (the transformer holds ~0.4GB of K/V per window-group member at
+    640x360); rounded up to the mesh data-axis size."""
+    env = os.environ.get("PROPAINTER_TPU_WINDOW_BATCH")
+    cap = int(env) if env else 8
+    g = min(n_windows, cap)
+    return -(-g // dp) * dp
+
+
 class Pipeline:
     """End-to-end video inpainting over converted params."""
 
@@ -109,6 +196,11 @@ class Pipeline:
                 tuple(str(d) for d in mesh.devices.flat),
             )
         self.jits = JitCache(salt)
+        # progress callback: fn(stage_name, done_units, total_units)
+        self.progress = None
+
+    def _report(self, stage: str, done: int, total: int) -> None:
+        progress_report(self.progress, stage, done, total)
 
     # --------------------------------------------------- clip parallelism
 
@@ -134,24 +226,12 @@ class Pipeline:
 
         return self.mesh.shape[DATA_AXIS]
 
-    def _pad_chunks(self, arrays: tuple):
-        """Pad the leading (chunk) axis to a multiple of dp by repeating
-        the last chunk, and place on the mesh data axis."""
-        dp = self._dp()
-        c = arrays[0].shape[0]
-        n_pad = (-c) % dp
-        if n_pad:
-            arrays = tuple(
-                jnp.concatenate([a, jnp.repeat(a[-1:], n_pad, axis=0)])
-                for a in arrays
-            )
-        if self.mesh is not None and dp > 1:
-            from ..parallel.mesh import DATA_AXIS
-            from jax.sharding import NamedSharding, PartitionSpec as P
+    def _mp(self) -> int:
+        if self.mesh is None:
+            return 1
+        from ..parallel.mesh import MODEL_AXIS
 
-            sh = NamedSharding(self.mesh, P(DATA_AXIS))
-            arrays = tuple(jax.device_put(a, sh) for a in arrays)
-        return arrays
+        return self.mesh.shape.get(MODEL_AXIS, 1)
 
     def _chunk_mapped(self, fn, n_batched: int, n_rep: int = 1):
         """Wrap a chunk program for clip-parallel execution: with a
@@ -174,41 +254,42 @@ class Pipeline:
             check_vma=False,
         )
 
+    @staticmethod
+    def _pad_chunk_axis(arrays: tuple, dp: int):
+        """Pad the leading (chunk) axis to a multiple of dp by repeating
+        the last chunk (traced; runs inside the stage program)."""
+        c = arrays[0].shape[0]
+        n_pad = (-c) % dp
+        if n_pad:
+            arrays = tuple(
+                jnp.concatenate([a, jnp.repeat(a[-1:], n_pad, axis=0)])
+                for a in arrays
+            )
+        return arrays
+
     # ------------------------------------------------------------- stage 1
 
-    def compute_flow(self, frames: jnp.ndarray):
-        """Bidirectional RAFT flow, chunked (propainter_inference.py:61-99).
-
-        frames: [1, T, H, W, 3] in [-1, 1] fp32.
-        Returns (flows_f, flows_b): [1, T-1, H, W, 2] fp32.
-        """
+    def _flow_fn(self, t: int, hw: tuple[int, int]):
+        """Pure fn(raft_params, frames[1,T,H,W,3] fp32) -> (ff, fb)
+        [1,T-1,H,W,2] fp32, with the chunk plan traced inside."""
         cfg = self.config
-        t = frames.shape[1]
+        bounds = flow_chunk_plan(cfg, t)
         clip = cfg.raft_chunk_len()
-
-        def build():
-            return lambda prm, fr: raft.raft_bi_forward(prm, fr, iters=cfg.raft_iter)
-
-        if t <= clip:
-            fn = self.jits.get(
-                "raft", (cfg.raft_iter, t) + frames.shape[2:4], build
-            )
-            with stage_timer("compute_flow") as tm:
-                return tm.set(fn(self.raft_params, frames))
-
-        # every chunk padded to clip+1 frames (repeat last) -> ONE compile;
-        # flow pairs are independent, garbage pairs are sliced off
         chunk_len = clip + 1
-        bounds = []
-        for c in range(0, t, clip):
-            end_f = min(t, c + clip)
-            s = c if c == 0 else c - 1
-            bounds.append((s, end_f))
+        # all-pairs batching: RAFT flow pairs are independent — the
+        # reference chunks only to bound GPU memory. One batch fills the
+        # MXU better and traces one scan; gate on the correlation-volume
+        # footprint (fp32 all-pairs + pyramid ~= 1.36x level 0).
+        n_prob = 2 * (t - 1)
+        h8w8 = (hw[0] // 8) * (hw[1] // 8)
+        vol_bytes = n_prob * h8w8 * h8w8 * 4 * 1.36
+        allpairs = len(bounds) > 1 and vol_bytes <= float(
+            os.environ.get("PROPAINTER_TPU_RAFT_ALLPAIRS_BYTES", 4.5e9)
+        )
+        clip_parallel = self._clip_parallel() and len(bounds) > 1
+        n_chunks = len(bounds)
 
-        if self._clip_parallel() and len(bounds) > 1:
-            # clip-parallel: chunks batch on a leading axis sharded over
-            # the mesh "data" axis (the reference's sequential loop,
-            # propainter_inference.py:75-93, is embarrassingly parallel)
+        def chunk_batch(frames):
             chunks = []
             for s, e in bounds:
                 ck = frames[0, s:e]
@@ -217,14 +298,9 @@ class Pipeline:
                         [ck, jnp.repeat(ck[-1:], chunk_len - (e - s), axis=0)]
                     )
                 chunks.append(ck)
-            (batch,) = self._pad_chunks((jnp.stack(chunks),))
-            fn = self.jits.get(
-                "raft_cp",
-                (cfg.raft_iter, chunk_len, batch.shape[0]) + frames.shape[2:4],
-                lambda: self._chunk_mapped(build(), n_batched=1),
-            )
-            with stage_timer("compute_flow") as tm:
-                ff, fb = tm.set(fn(self.raft_params, batch))
+            return jnp.stack(chunks)
+
+        def unbatch(ff, fb):
             flows_f = [
                 ff[ci : ci + 1, : e - s - 1] for ci, (s, e) in enumerate(bounds)
             ]
@@ -236,270 +312,398 @@ class Pipeline:
                 jnp.concatenate(flows_b, axis=1),
             )
 
-        fn = self.jits.get(
-            "raft", (cfg.raft_iter, chunk_len) + frames.shape[2:4], build
-        )
-        flows_f, flows_b = [], []
-        for s, end_f in bounds:
-            n_real = end_f - s
-            chunk = frames[:, s:end_f]
-            if n_real < chunk_len:
-                reps = jnp.repeat(
-                    chunk[:, -1:], chunk_len - n_real, axis=1
-                )
-                chunk = jnp.concatenate([chunk, reps], axis=1)
-            with stage_timer("compute_flow") as tm:
-                ff, fb = tm.set(fn(self.raft_params, chunk))
-            flows_f.append(ff[:, : n_real - 1])
-            flows_b.append(fb[:, : n_real - 1])
-        return (
-            jnp.concatenate(flows_f, axis=1),
-            jnp.concatenate(flows_b, axis=1),
-        )
+        if len(bounds) == 1:
+            return lambda prm, frames: raft.raft_bi_forward(
+                prm, frames, iters=cfg.raft_iter
+            )
 
-    # ------------------------------------------------------------- stage 2
+        if allpairs and not clip_parallel:
+            return lambda prm, frames: raft.raft_bi_forward(
+                prm, frames, iters=cfg.raft_iter
+            )
 
-    @staticmethod
-    def _complete_build():
-        def f(prm, ff, fb, mk, t_valid):
-            pf, pb = fc.forward_bidirect_flow(prm, ff, fb, mk, t_valid)
-            return fc.combine_flow(ff, fb, pf, pb, mk)
+        if clip_parallel:
+            dp = self._dp()
+            inner = self._chunk_mapped(
+                lambda prm, batch: raft.raft_bi_forward(
+                    prm, batch, iters=cfg.raft_iter
+                ),
+                n_batched=1,
+            )
+
+            def f(prm, frames):
+                batch = chunk_batch(frames)
+                (batch,) = self._pad_chunk_axis((batch,), dp)
+                ff, fb = inner(prm, batch)
+                return unbatch(ff[:n_chunks], fb[:n_chunks])
+
+            return f
+
+        def f(prm, frames):
+            batch = chunk_batch(frames)
+            ff, fb = raft.raft_bi_forward(prm, batch, iters=cfg.raft_iter)
+            return unbatch(ff, fb)
 
         return f
 
-    def complete_flow_chunk(self, ff, fb, mk, t_real, t_static):
-        """One flow-completion chunk, zero-padded to the static length.
-        Padding equivalence (scan resets + temporal-conv re-zeroing) makes
-        real outputs exact -> ONE compile per config."""
-        dt = self.cdtype
-        build = self._complete_build
+    def compute_flow(self, frames: jnp.ndarray):
+        """Bidirectional RAFT flow (propainter_inference.py:61-99).
 
-        n_pad = t_static - t_real
-        if n_pad:
-            padf = ((0, 0), (0, n_pad), (0, 0), (0, 0), (0, 0))
-            ff = jnp.pad(ff, padf)
-            fb = jnp.pad(fb, padf)
-            mk = jnp.pad(mk, padf)
-        fn = self.jits.get("flow_complete", ff.shape[1:], build)
-        with stage_timer("complete_flow") as tm:
-            of, ob = tm.set(fn(
-                self.flow_params,
-                ff.astype(dt),
-                fb.astype(dt),
-                mk.astype(dt),
-                jnp.asarray(t_real),
-            ))
-        return of[:, :t_real], ob[:, :t_real]
+        frames: [1, T, H, W, 3] in [-1, 1] fp32.
+        Returns (flows_f, flows_b): [1, T-1, H, W, 2] fp32.
+        ONE device dispatch (chunk loop traced inside).
+        """
+        t = frames.shape[1]
+        hw = frames.shape[2:4]
+        fn = self.jits.get(
+            "flow_stage",
+            (self.config.raft_iter, self.config.raft_chunk_len(), t) + hw,
+            lambda: self._flow_fn(t, hw),
+        )
+        self._report("compute_flow", 0, 1)
+        with stage_timer("compute_flow") as tm:
+            out = tm.set(fn(self.raft_params, frames))
+        self._report("compute_flow", 1, 1)
+        return out
+
+    # ------------------------------------------------------------- stage 2
+
+    def _complete_fn(self, flow_length: int):
+        """Pure fn(flow_params, ff, fb, masks) -> completed (ff, fb);
+        subvideo chunking + halos traced inside."""
+        dt = self.cdtype
+
+        def one_chunk(prm, ff, fb, mk, t_real, t_static):
+            n_pad = t_static - t_real
+            if n_pad:
+                padf = ((0, 0), (0, n_pad), (0, 0), (0, 0), (0, 0))
+                ff = jnp.pad(ff, padf)
+                fb = jnp.pad(fb, padf)
+                mk = jnp.pad(mk, padf)
+            pf, pb = fc.forward_bidirect_flow(
+                prm, ff, fb, mk, jnp.asarray(t_real) if n_pad else None
+            )
+            of, ob = fc.combine_flow(ff, fb, pf, pb, mk)
+            return of[:, :t_real], ob[:, :t_real]
+
+        sub = self.config.subvideo_length
+        if flow_length <= sub:
+            def f(prm, flows_f, flows_b, flow_masks):
+                return one_chunk(
+                    prm,
+                    flows_f.astype(dt),
+                    flows_b.astype(dt),
+                    flow_masks.astype(dt),
+                    flow_length,
+                    flow_length,
+                )
+
+            return f
+
+        bounds, chunk_static = complete_chunk_plan(self.config, flow_length)
+        clip_parallel = self._clip_parallel() and len(bounds) > 1
+
+        if clip_parallel:
+            dp = self._dp()
+            inner = self._chunk_mapped(
+                lambda prm, ff, fb, mk, tv: fc.combine_flow(
+                    ff, fb, *fc.forward_bidirect_flow(prm, ff, fb, mk, tv), mk
+                ),
+                n_batched=4,
+            )
+
+            def f(prm, flows_f, flows_b, flow_masks):
+                flows_f = flows_f.astype(dt)
+                flows_b = flows_b.astype(dt)
+                flow_masks = flow_masks.astype(dt)
+
+                def pad_t(a, target):
+                    return jnp.pad(
+                        a, ((0, 0), (0, target - a.shape[1])) + ((0, 0),) * 3
+                    )
+
+                ffs = jnp.concatenate(
+                    [pad_t(flows_f[:, s:e], chunk_static) for s, e, _, _ in bounds]
+                )
+                fbs = jnp.concatenate(
+                    [pad_t(flows_b[:, s:e], chunk_static) for s, e, _, _ in bounds]
+                )
+                mks = jnp.concatenate(
+                    [
+                        pad_t(flow_masks[:, s : e + 1], chunk_static + 1)
+                        for s, e, _, _ in bounds
+                    ]
+                )
+                tvs = jnp.asarray([e - s for s, e, _, _ in bounds])
+                ffs, fbs, mks, tvs = self._pad_chunk_axis(
+                    (ffs, fbs, mks, tvs), dp
+                )
+                of, ob = inner(prm, ffs, fbs, mks, tvs)
+                out_f, out_b = [], []
+                for ci, (s_f, e_f, ps, pe) in enumerate(bounds):
+                    end = e_f - s_f - pe
+                    out_f.append(of[ci : ci + 1, ps:end])
+                    out_b.append(ob[ci : ci + 1, ps:end])
+                return (
+                    jnp.concatenate(out_f, axis=1),
+                    jnp.concatenate(out_b, axis=1),
+                )
+
+            return f
+
+        def f(prm, flows_f, flows_b, flow_masks):
+            flows_f = flows_f.astype(dt)
+            flows_b = flows_b.astype(dt)
+            flow_masks = flow_masks.astype(dt)
+            out_f, out_b = [], []
+            for s_f, e_f, pad_len_s, pad_len_e in bounds:
+                of, ob = one_chunk(
+                    prm,
+                    flows_f[:, s_f:e_f],
+                    flows_b[:, s_f:e_f],
+                    flow_masks[:, s_f : e_f + 1],
+                    e_f - s_f,
+                    chunk_static,
+                )
+                end = e_f - s_f - pad_len_e
+                out_f.append(of[:, pad_len_s:end])
+                out_b.append(ob[:, pad_len_s:end])
+            return jnp.concatenate(out_f, axis=1), jnp.concatenate(out_b, axis=1)
+
+        return f
 
     def complete_flow(self, flows, flow_masks):
         """Flow completion, subvideo chunks with 5-frame halo
-        (propainter_inference.py:102-156).
+        (propainter_inference.py:102-156). ONE device dispatch.
 
         flows: (flows_f, flows_b) [1, T-1, H, W, 2]; flow_masks
         [1, T, H, W, 1]. Returns completed (flows_f, flows_b).
         """
         flows_f, flows_b = flows
-        sub = self.config.subvideo_length
         flow_length = flows_f.shape[1]
-        run = self.complete_flow_chunk
-
-        if flow_length <= sub:
-            return run(flows_f, flows_b, flow_masks, flow_length, flow_length)
-
-        pad_len = 5
-        chunk_static = sub + 2 * pad_len
-        bounds = []
-        for f in range(0, flow_length, sub):
-            s_f = max(0, f - pad_len)
-            e_f = min(flow_length, f + sub + pad_len)
-            bounds.append((s_f, e_f, f - s_f, e_f - min(flow_length, f + sub)))
-
-        if self._clip_parallel() and len(bounds) > 1:
-            def pad_t(a, target):
-                return jnp.pad(
-                    a, ((0, 0), (0, target - a.shape[1])) + ((0, 0),) * 3
-                )
-
-            ffs = jnp.concatenate(
-                [pad_t(flows_f[:, s:e], chunk_static) for s, e, _, _ in bounds]
-            )
-            fbs = jnp.concatenate(
-                [pad_t(flows_b[:, s:e], chunk_static) for s, e, _, _ in bounds]
-            )
-            mks = jnp.concatenate(
-                [
-                    pad_t(flow_masks[:, s : e + 1], chunk_static + 1)
-                    for s, e, _, _ in bounds
-                ]
-            )
-            tvs = jnp.asarray([e - s for s, e, _, _ in bounds])
-            ffs, fbs, mks, tvs = self._pad_chunks((ffs, fbs, mks, tvs))
-            dt = self.cdtype
-            fn = self.jits.get(
-                "flow_complete_cp",
-                (ffs.shape[0],) + ffs.shape[1:],
-                lambda: self._chunk_mapped(
-                    self._complete_build(), n_batched=4
-                ),
-            )
-            with stage_timer("complete_flow") as tm:
-                of, ob = tm.set(
-                    fn(self.flow_params, ffs.astype(dt), fbs.astype(dt),
-                       mks.astype(dt), tvs)
-                )
-            out_f, out_b = [], []
-            for ci, (s_f, e_f, ps, pe) in enumerate(bounds):
-                end = e_f - s_f - pe
-                out_f.append(of[ci : ci + 1, ps:end])
-                out_b.append(ob[ci : ci + 1, ps:end])
-            return jnp.concatenate(out_f, axis=1), jnp.concatenate(out_b, axis=1)
-
-        out_f, out_b = [], []
-        for s_f, e_f, pad_len_s, pad_len_e in bounds:
-            of, ob = run(
-                flows_f[:, s_f:e_f],
-                flows_b[:, s_f:e_f],
-                flow_masks[:, s_f : e_f + 1],
-                e_f - s_f,
-                chunk_static,
-            )
-            end = e_f - s_f - pad_len_e
-            out_f.append(of[:, pad_len_s:end])
-            out_b.append(ob[:, pad_len_s:end])
-        return jnp.concatenate(out_f, axis=1), jnp.concatenate(out_b, axis=1)
+        fn = self.jits.get(
+            "complete_stage",
+            (self.config.subvideo_length, flow_length) + flows_f.shape[2:4],
+            lambda: self._complete_fn(flow_length),
+        )
+        self._report("complete_flow", 0, 1)
+        with stage_timer("complete_flow") as tm:
+            out = tm.set(fn(self.flow_params, flows_f, flows_b, flow_masks))
+        self._report("complete_flow", 1, 1)
+        return out
 
     # ------------------------------------------------------------- stage 3
 
-    @staticmethod
-    def _imgprop_build():
-        def f(fr, mk, ff, fb, t_valid):
+    def _imgprop_fn(self, t: int):
+        """Pure fn(frames, masks, ff, fb) -> (updated_frames, updated_masks);
+        chunking + halos traced inside."""
+        dt = self.cdtype
+
+        def one_chunk(fr, mk, ff, fb, t_real, t_static):
+            n_pad = t_static - t_real
+            if n_pad:
+                padf = ((0, 0), (0, n_pad), (0, 0), (0, 0), (0, 0))
+                fr = jnp.pad(fr, padf)
+                mk = jnp.pad(mk, padf)
+                ff = jnp.pad(ff, padf)
+                fb = jnp.pad(fb, padf)
             masked = fr * (1 - mk)
             prop, upd_mask = pp.bidirectional_propagation_image(
-                masked, ff, fb, mk, "nearest", t_valid=t_valid
+                masked, ff, fb, mk, "nearest",
+                t_valid=jnp.asarray(t_real) if n_pad else None,
             )
             updated = fr * (1 - mk) + prop * mk
-            return updated, upd_mask
+            return updated[:, :t_real], upd_mask[:, :t_real]
 
-        return f
-
-    def image_prop_chunk(self, fr, mk, ff, fb, t_real, t_static):
-        """One image-propagation chunk, zero-padded to the static length."""
-        dt = self.cdtype
-        fr = fr.astype(dt)
-        mk = mk.astype(dt)
-        ff = ff.astype(dt)
-        fb = fb.astype(dt)
-        build = self._imgprop_build
-
-        n_pad = t_static - t_real
-        if n_pad:
-            padf = ((0, 0), (0, n_pad), (0, 0), (0, 0), (0, 0))
-            fr = jnp.pad(fr, padf)
-            mk = jnp.pad(mk, padf)
-            ff = jnp.pad(ff, padf)
-            fb = jnp.pad(fb, padf)
-        fn = self.jits.get("img_prop", fr.shape[1:], build)
-        with stage_timer("image_propagation") as tm:
-            uf, um = tm.set(fn(fr, mk, ff, fb, jnp.asarray(t_real)))
-        return uf[:, :t_real], um[:, :t_real]
-
-    def image_propagation(self, frames, masks_dilated, pred_flows):
-        """Pixel-domain propagation, <=100-frame chunks with 10-frame halo
-        (propainter_inference.py:159-225).
-
-        frames [1, T, H, W, 3] (cdtype), masks_dilated [1, T, H, W, 1].
-        Returns (updated_frames, updated_masks).
-        """
-        cfg = self.config
-        t = frames.shape[1]
-        sub = min(100, cfg.subvideo_length)
-        dt = self.cdtype
-        frames = frames.astype(dt)
-        masks_dilated = masks_dilated.astype(dt)
-        flows_f, flows_b = (f.astype(dt) for f in pred_flows)
-        run = self.image_prop_chunk
-
+        sub = min(100, self.config.subvideo_length)
         if t <= sub:
-            return run(frames, masks_dilated, flows_f, flows_b, t, t)
-
-        pad_len = 10
-        chunk_static = sub + 2 * pad_len
-        bounds = []
-        for f in range(0, t, sub):
-            s_f = max(0, f - pad_len)
-            e_f = min(t, f + sub + pad_len)
-            bounds.append((s_f, e_f, f - s_f, e_f - min(t, f + sub)))
-
-        if self._clip_parallel() and len(bounds) > 1:
-            def pad_t(a, target):
-                return jnp.pad(
-                    a, ((0, 0), (0, target - a.shape[1])) + ((0, 0),) * 3
+            def f(frames, masks_dilated, flows_f, flows_b):
+                return one_chunk(
+                    frames.astype(dt),
+                    masks_dilated.astype(dt),
+                    flows_f.astype(dt),
+                    flows_b.astype(dt),
+                    t,
+                    t,
                 )
 
-            frs = jnp.concatenate(
-                [pad_t(frames[:, s:e], chunk_static) for s, e, _, _ in bounds]
-            )
-            mks = jnp.concatenate(
-                [pad_t(masks_dilated[:, s:e], chunk_static) for s, e, _, _ in bounds]
-            )
-            ffs = jnp.concatenate(
-                [pad_t(flows_f[:, s : e - 1], chunk_static - 1) for s, e, _, _ in bounds]
-            )
-            fbs = jnp.concatenate(
-                [pad_t(flows_b[:, s : e - 1], chunk_static - 1) for s, e, _, _ in bounds]
-            )
-            tvs = jnp.asarray([e - s for s, e, _, _ in bounds])
-            frs, mks, ffs, fbs, tvs = self._pad_chunks((frs, mks, ffs, fbs, tvs))
-            fn = self.jits.get(
-                "img_prop_cp",
-                (frs.shape[0],) + frs.shape[1:],
-                lambda: self._chunk_mapped(
-                    self._imgprop_build(), n_batched=5, n_rep=0
-                ),
-            )
-            with stage_timer("image_propagation") as tm:
-                uf, um = tm.set(fn(frs, mks, ffs, fbs, tvs))
+            return f
+
+        bounds, chunk_static = imgprop_chunk_plan(self.config, t)
+        clip_parallel = self._clip_parallel() and len(bounds) > 1
+
+        if clip_parallel:
+            dp = self._dp()
+
+            def chunk_prog(fr, mk, ff, fb, tv):
+                masked = fr * (1 - mk)
+                prop, upd_mask = pp.bidirectional_propagation_image(
+                    masked, ff, fb, mk, "nearest", t_valid=tv
+                )
+                return fr * (1 - mk) + prop * mk, upd_mask
+
+            inner = self._chunk_mapped(chunk_prog, n_batched=5, n_rep=0)
+
+            def f(frames, masks_dilated, flows_f, flows_b):
+                frames = frames.astype(dt)
+                masks_dilated = masks_dilated.astype(dt)
+                flows_f = flows_f.astype(dt)
+                flows_b = flows_b.astype(dt)
+
+                def pad_t(a, target):
+                    return jnp.pad(
+                        a, ((0, 0), (0, target - a.shape[1])) + ((0, 0),) * 3
+                    )
+
+                frs = jnp.concatenate(
+                    [pad_t(frames[:, s:e], chunk_static) for s, e, _, _ in bounds]
+                )
+                mks = jnp.concatenate(
+                    [
+                        pad_t(masks_dilated[:, s:e], chunk_static)
+                        for s, e, _, _ in bounds
+                    ]
+                )
+                ffs = jnp.concatenate(
+                    [
+                        pad_t(flows_f[:, s : e - 1], chunk_static - 1)
+                        for s, e, _, _ in bounds
+                    ]
+                )
+                fbs = jnp.concatenate(
+                    [
+                        pad_t(flows_b[:, s : e - 1], chunk_static - 1)
+                        for s, e, _, _ in bounds
+                    ]
+                )
+                tvs = jnp.asarray([e - s for s, e, _, _ in bounds])
+                frs, mks, ffs, fbs, tvs = self._pad_chunk_axis(
+                    (frs, mks, ffs, fbs, tvs), dp
+                )
+                uf, um = inner(frs, mks, ffs, fbs, tvs)
+                out_frames, out_masks = [], []
+                for ci, (s_f, e_f, ps, pe) in enumerate(bounds):
+                    end = e_f - s_f - pe
+                    out_frames.append(uf[ci : ci + 1, ps:end])
+                    out_masks.append(um[ci : ci + 1, ps:end])
+                return (
+                    jnp.concatenate(out_frames, axis=1),
+                    jnp.concatenate(out_masks, axis=1),
+                )
+
+            return f
+
+        def f(frames, masks_dilated, flows_f, flows_b):
+            frames = frames.astype(dt)
+            masks_dilated = masks_dilated.astype(dt)
+            flows_f = flows_f.astype(dt)
+            flows_b = flows_b.astype(dt)
             out_frames, out_masks = [], []
-            for ci, (s_f, e_f, ps, pe) in enumerate(bounds):
-                end = e_f - s_f - pe
-                out_frames.append(uf[ci : ci + 1, ps:end])
-                out_masks.append(um[ci : ci + 1, ps:end])
+            for s_f, e_f, pad_len_s, pad_len_e in bounds:
+                uf, um = one_chunk(
+                    frames[:, s_f:e_f],
+                    masks_dilated[:, s_f:e_f],
+                    flows_f[:, s_f : e_f - 1],
+                    flows_b[:, s_f : e_f - 1],
+                    e_f - s_f,
+                    chunk_static,
+                )
+                end = e_f - s_f - pad_len_e
+                out_frames.append(uf[:, pad_len_s:end])
+                out_masks.append(um[:, pad_len_s:end])
             return (
                 jnp.concatenate(out_frames, axis=1),
                 jnp.concatenate(out_masks, axis=1),
             )
 
-        out_frames, out_masks = [], []
-        for s_f, e_f, pad_len_s, pad_len_e in bounds:
-            uf, um = run(
-                frames[:, s_f:e_f],
-                masks_dilated[:, s_f:e_f],
-                flows_f[:, s_f : e_f - 1],
-                flows_b[:, s_f : e_f - 1],
-                e_f - s_f,
-                chunk_static,
-            )
-            end = e_f - s_f - pad_len_e
-            out_frames.append(uf[:, pad_len_s:end])
-            out_masks.append(um[:, pad_len_s:end])
-        return (
-            jnp.concatenate(out_frames, axis=1),
-            jnp.concatenate(out_masks, axis=1),
+        return f
+
+    def image_propagation(self, frames, masks_dilated, pred_flows):
+        """Pixel-domain propagation, <=100-frame chunks with 10-frame halo
+        (propainter_inference.py:159-225). ONE device dispatch.
+
+        frames [1, T, H, W, 3], masks_dilated [1, T, H, W, 1].
+        Returns (updated_frames, updated_masks) in cdtype.
+        """
+        t = frames.shape[1]
+        fn = self.jits.get(
+            "imgprop_stage",
+            (min(100, self.config.subvideo_length), t) + frames.shape[2:4],
+            lambda: self._imgprop_fn(t),
         )
+        self._report("image_propagation", 0, 1)
+        with stage_timer("image_propagation") as tm:
+            out = tm.set(fn(frames, masks_dilated, pred_flows[0], pred_flows[1]))
+        self._report("image_propagation", 1, 1)
+        return out
 
     # ------------------------------------------------------------- stage 4
 
-    def window_predict_fn(self, l_t_max: int, ref_max: int, hw: tuple):
-        """Jitted BATCHED window prediction: model forward + uint8
-        composite against the original frames (no blending — that part is
-        sequential and lives in blend_scan_fn). With a multi-device mesh
-        the window batch runs under shard_map over the "data" axis (each
-        device runs the whole forward — Pallas kernels included — on its
-        local windows)."""
+    def _feature_fn(self, t: int):
+        """Pure fn(inpaint_params, updated_frames, updated_masks,
+        masks_dilated, ff, fb, original_frames) -> composed [T, H, W, 3]
+        float 0..255 (uint8-exact). The whole stage — window gathers,
+        batched groups, uint8 composition, overlap blend — is one traced
+        program."""
+        cfg = self.config
+        dt = self.cdtype
+        windows = window_plan(cfg, t)
+        n_windows = len(windows)
+        neighbor_stride = cfg.neighbor_stride
+        l_t_max = 2 * neighbor_stride + 1
+        ref_max = max((len(r) for _, r in windows), default=0)
+        ref_max = max(2, -(-ref_max // 2) * 2)  # bucket to even
+        t_sel = l_t_max + ref_max
 
-        def build():
-            def f(prm, sel_frames, sel_masks, sel_upd, ff, fb, orig_slices,
-                  l_t_valid, ref_valid):
+        dp = self._dp()
+        mp = self._mp()
+        group_size = _window_group_size(n_windows, dp)
+        mesh = self.mesh
+        # snapshot at trace time (baked into the program; part of the jit
+        # key via _feature_key) — benches with no callback pay zero cost.
+        # Requires backend host-callback support (the axon-tunneled TPU
+        # has none; there, progress stays at stage granularity).
+        progress_on = self.progress is not None and callbacks_supported()
+
+        # static per-window index/validity tables
+        sels = np.zeros((n_windows, t_sel), np.int32)
+        valids = np.zeros((n_windows, t_sel), np.float32)
+        starts = np.zeros((n_windows,), np.int32)
+        lts = np.zeros((n_windows,), np.int32)
+        refs = np.zeros((n_windows,), np.int32)
+        for wi, (nids, rids) in enumerate(windows):
+            l_t, n_ref = len(nids), len(rids)
+            sels[wi] = np.asarray(
+                nids + [0] * (l_t_max - l_t) + rids + [0] * (ref_max - n_ref)
+            )
+            valids[wi, :l_t] = 1.0
+            valids[wi, l_t_max : l_t_max + n_ref] = 1.0
+            starts[wi] = nids[0]
+            lts[wi] = l_t
+            refs[wi] = n_ref
+
+        def predict_group(prm, uf_p, um_p, md_p, ff_p, fb_p, orig_p, grp):
+            """Batched window prediction for a static group of window ids:
+            model forward + uint8 composite (propainter_inference.py:283-293).
+            Returns [G, l_t_max, H, W, 3] float 0..255."""
+            gsel = jnp.asarray(sels[grp])  # [G, T_sel]
+            gvalid = jnp.asarray(valids[grp], dt)[:, :, None, None, None]
+            gn0 = jnp.asarray(starts[grp])
+            sel_frames = uf_p[0, gsel]
+            sel_masks = md_p[0, gsel] * gvalid
+            sel_upd = um_p[0, gsel] * gvalid
+            ff = jax.vmap(
+                lambda s: jax.lax.dynamic_slice_in_dim(ff_p[0], s, l_t_max - 1, 0)
+            )(gn0)
+            fb = jax.vmap(
+                lambda s: jax.lax.dynamic_slice_in_dim(fb_p[0], s, l_t_max - 1, 0)
+            )(gn0)
+            orig_slices = jax.vmap(
+                lambda s: jax.lax.dynamic_slice_in_dim(orig_p, s, l_t_max, 0)
+            )(gn0)
+
+            def fwd(prm, sel_frames, sel_masks, sel_upd, ff, fb, orig_slices,
+                    l_t_valid, ref_valid):
                 pred = pp.inpaint_generator_forward(
                     prm, sel_frames, ff, fb, sel_masks, sel_upd,
                     l_t_max, l_t_valid=l_t_valid, ref_valid=ref_valid,
@@ -511,48 +715,235 @@ class Pipeline:
                     pred_byte * binary + orig_slices * (1.0 - binary)
                 )
 
-            return self._chunk_mapped(f, n_batched=8, n_rep=1)
+            if mesh is not None and mp > 1:
+                # model axis > 1: the window forward runs under GSPMD with
+                # the window batch sharded over "data" and the image
+                # height over "model" (SURVEY §2.4c, parallel/spatial.py).
+                # with_sharding_constraint pins the entry shardings; the
+                # spatial_sharding context (active during this trace)
+                # keeps H sharded at the model's stage boundaries and
+                # swaps Pallas kernels for their partitionable XLA twins.
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                from ..parallel.mesh import DATA_AXIS, MODEL_AXIS
+                from ..parallel.spatial import spatial_sharding
 
-        return lambda prm, sf, sm, su, ff, fb, os_, lt, rf: self.jits.get(
-            "window_predict",
-            (sf.shape[0], l_t_max, ref_max) + tuple(hw),
-            build,
-        )(prm, sf, sm, su, ff, fb, os_, lt, rf)
+                def fwd_mp(prm, sel_frames, sel_masks, sel_upd, ff, fb,
+                           orig_slices, l_t_valid, ref_valid):
+                    def sh(a, h_dim):
+                        spec = [None] * a.ndim
+                        spec[0] = DATA_AXIS
+                        spec[h_dim] = MODEL_AXIS
+                        return jax.lax.with_sharding_constraint(
+                            a, NamedSharding(mesh, P(*spec))
+                        )
 
-    def blend_static_fn(self, chains_key: tuple, hw: tuple):
-        """Jitted overlap blending with host-static chains.
+                    sel_frames = sh(sel_frames, 2)
+                    sel_masks = sh(sel_masks, 2)
+                    sel_upd = sh(sel_upd, 2)
+                    ff = sh(ff, 2)
+                    fb = sh(fb, 2)
+                    orig_slices = sh(orig_slices, 2)
+                    with spatial_sharding(mesh, MODEL_AXIS):
+                        return fwd(
+                            prm, sel_frames, sel_masks, sel_upd, ff, fb,
+                            orig_slices, l_t_valid, ref_valid,
+                        )
 
-        The reference's sequential revisit blend
-        (propainter_inference.py:294-307) touches each frame through the
-        ordered chain of windows containing it — at most
-        ceil(l_t_max / neighbor_stride) ≈ 3 windows. The chain is known on
-        the HOST (it is pure window-plan arithmetic), so every pick is a
-        static slice — no device gathers at all (a dynamic-gather variant
-        of this blend cost 0.46 s/24f on TPU; static slices are ~free).
-        Bit-identical to the reference scan (same floors, same order).
+                return fwd_mp(
+                    prm, sel_frames, sel_masks, sel_upd, ff, fb, orig_slices,
+                    jnp.asarray(lts[grp]), jnp.asarray(refs[grp]),
+                )
 
-        chains_key: per-frame tuple of (window, slot) visit pairs.
+            if mesh is not None and dp > 1:
+                # shard_map's in_specs reshard the window batch onto the
+                # mesh data axis (GSPMD inserts the placement collective)
+                fwd = self._chunk_mapped(fwd, n_batched=8)
+            return fwd(
+                prm, sel_frames, sel_masks, sel_upd, ff, fb, orig_slices,
+                jnp.asarray(lts[grp]), jnp.asarray(refs[grp]),
+            )
+
+        # blend visit tables: window wi covers frames starts[wi] ..
+        # starts[wi]+l_t-1; scan over windows in order reproduces the
+        # reference's first-visit-replace / revisit-0.5-blend exactly
+        # (propainter_inference.py:294-307). T-independent compile.
+        slot_valid = np.zeros((n_windows, l_t_max), np.bool_)
+        for wi, (nids, _) in enumerate(windows):
+            slot_valid[wi, : len(nids)] = True
+
+        def blend(imgs):
+            """imgs [nW, l_t_max, H, W, 3] f32 0..255 -> [T, H, W, 3]."""
+            h, w = imgs.shape[2], imgs.shape[3]
+            canvas0 = jnp.zeros((t + l_t_max, h, w, 3), jnp.float32)
+            seen0 = jnp.zeros((t + l_t_max,), jnp.bool_)
+
+            def step(carry, inp):
+                canvas, seen = carry
+                img_w, s0, sv = inp
+                cur = jax.lax.dynamic_slice_in_dim(canvas, s0, l_t_max, 0)
+                sn = jax.lax.dynamic_slice_in_dim(seen, s0, l_t_max, 0)
+                blended = jnp.where(
+                    sn[:, None, None, None],
+                    jnp.floor(0.5 * img_w + 0.5 * cur),
+                    img_w,
+                )
+                svb = sv[:, None, None, None]
+                upd = jnp.where(svb, blended, cur)
+                canvas = jax.lax.dynamic_update_slice_in_dim(canvas, upd, s0, 0)
+                seen = jax.lax.dynamic_update_slice_in_dim(seen, sn | sv, s0, 0)
+                return (canvas, seen), None
+
+            (canvas, _), _ = jax.lax.scan(
+                step,
+                (canvas0, seen0),
+                (imgs, jnp.asarray(starts), jnp.asarray(slot_valid)),
+            )
+            return canvas[:t]
+
+        def f(prm, updated_frames, updated_masks, masks_dilated, flows_f,
+              flows_b, original_frames):
+            updated_frames = updated_frames.astype(dt)
+            updated_masks = updated_masks.astype(dt)
+            masks_dilated = masks_dilated.astype(dt)
+            flows_f = flows_f.astype(dt)
+            flows_b = flows_b.astype(dt)
+
+            pad_t = ((0, 0), (0, l_t_max), (0, 0), (0, 0), (0, 0))
+            uf_p = jnp.pad(updated_frames, pad_t)
+            um_p = jnp.pad(updated_masks, pad_t)
+            md_p = jnp.pad(masks_dilated, pad_t)
+            ff_p = jnp.pad(flows_f, pad_t)
+            fb_p = jnp.pad(flows_b, pad_t)
+            orig_p = jnp.pad(
+                original_frames.astype(jnp.float32),
+                ((0, l_t_max), (0, 0), (0, 0), (0, 0)),
+            )
+
+            imgs = []
+            for g0 in range(0, n_windows, group_size):
+                grp = list(range(g0, min(n_windows, g0 + group_size)))
+                done = grp[-1] + 1
+                grp = grp + [grp[-1]] * (group_size - len(grp))
+                out = predict_group(prm, uf_p, um_p, md_p, ff_p, fb_p, orig_p, grp)
+                if progress_on:
+                    # runtime tick: fires as the device finishes this
+                    # group (the scalar arg makes it data-dependent on
+                    # the group's output)
+                    jax.debug.callback(
+                        lambda _x, d=done: self._report(
+                            "feature_windows", int(d), n_windows
+                        ),
+                        out[0, 0, 0, 0, 0],
+                    )
+                imgs.append(out[: min(n_windows, g0 + group_size) - g0])
+            return blend(jnp.concatenate(imgs, axis=0))
+
+        return f
+
+    def feature_propagation(
+        self,
+        updated_frames,
+        updated_masks,
+        masks_dilated,
+        pred_flows,
+        original_frames,
+    ):
+        """Sliding-window transformer inference + on-device composition +
+        overlap blend (propainter_inference.py:228-311). ONE dispatch.
+
+        original_frames: [T, H, W, 3] float 0..255 integer-valued.
+        Returns composed video [T, H, W, 3] float 0..255 (uint8-exact).
         """
+        t = updated_frames.shape[1]
+        fn = self.jits.get(
+            "feature_stage",
+            self._feature_key(t) + updated_frames.shape[2:4],
+            lambda: self._feature_fn(t),
+        )
+        n_windows = len(window_plan(self.config, t))
+        self._report("feature_propagation", 0, n_windows)
+        with stage_timer("feature_propagation") as tm:
+            out = tm.set(fn(
+                self.inpaint_params, updated_frames, updated_masks,
+                masks_dilated, pred_flows[0], pred_flows[1], original_frames,
+            ))
+        self._report("feature_propagation", n_windows, n_windows)
+        return out
+
+    def _feature_key(self, t: int) -> tuple:
+        cfg = self.config
+        return (
+            t, cfg.neighbor_length, cfg.ref_stride, cfg.subvideo_length,
+            _window_group_size(len(window_plan(cfg, t)), self._dp()),
+            self._mp(),
+            self.progress is not None and callbacks_supported(),
+        )
+
+    # ------------------------------------------- streaming chunk programs
+    #
+    # pipeline/streaming.py drives long videos chunk-by-chunk with a
+    # bounded working set; these single-chunk programs (zero-padded to a
+    # static length, exact via scan resets + attention key masks) are its
+    # building blocks. One compile per static chunk shape.
+
+    def complete_flow_chunk(self, ff, fb, mk, t_real, t_static):
+        """One flow-completion chunk, zero-padded to the static length."""
+        dt = self.cdtype
 
         def build():
-            def f(imgs):
-                # imgs [nW, l_t_max, H, W, 3] float 0..255
-                outs = []
-                for chain in chains_key:
-                    w0, s0 = chain[0]
-                    comp = imgs[w0, s0]
-                    for wi, si in chain[1:]:
-                        comp = jnp.floor(0.5 * imgs[wi, si] + 0.5 * comp)
-                    outs.append(comp)
-                return jnp.stack(outs)
+            def f(prm, ff, fb, mk, t_valid):
+                pf, pb = fc.forward_bidirect_flow(prm, ff, fb, mk, t_valid)
+                return fc.combine_flow(ff, fb, pf, pb, mk)
 
             return f
 
-        return self.jits.get("blend_static", (chains_key,) + tuple(hw), build)
+        n_pad = t_static - t_real
+        if n_pad:
+            padf = ((0, 0), (0, n_pad), (0, 0), (0, 0), (0, 0))
+            ff = jnp.pad(ff, padf)
+            fb = jnp.pad(fb, padf)
+            mk = jnp.pad(mk, padf)
+        fn = self.jits.get("flow_complete_chunk", ff.shape[1:], build)
+        with stage_timer("complete_flow") as tm:
+            of, ob = tm.set(fn(
+                self.flow_params, ff.astype(dt), fb.astype(dt),
+                mk.astype(dt), jnp.asarray(t_real),
+            ))
+        return of[:, :t_real], ob[:, :t_real]
+
+    def image_prop_chunk(self, fr, mk, ff, fb, t_real, t_static):
+        """One image-propagation chunk, zero-padded to the static length."""
+        dt = self.cdtype
+
+        def build():
+            def f(fr, mk, ff, fb, t_valid):
+                masked = fr * (1 - mk)
+                prop, upd_mask = pp.bidirectional_propagation_image(
+                    masked, ff, fb, mk, "nearest", t_valid=t_valid
+                )
+                return fr * (1 - mk) + prop * mk, upd_mask
+
+            return f
+
+        fr = fr.astype(dt)
+        mk = mk.astype(dt)
+        ff = ff.astype(dt)
+        fb = fb.astype(dt)
+        n_pad = t_static - t_real
+        if n_pad:
+            padf = ((0, 0), (0, n_pad), (0, 0), (0, 0), (0, 0))
+            fr = jnp.pad(fr, padf)
+            mk = jnp.pad(mk, padf)
+            ff = jnp.pad(ff, padf)
+            fb = jnp.pad(fb, padf)
+        fn = self.jits.get("img_prop_chunk", fr.shape[1:], build)
+        with stage_timer("image_propagation") as tm:
+            uf, um = tm.set(fn(fr, mk, ff, fb, jnp.asarray(t_real)))
+        return uf[:, :t_real], um[:, :t_real]
 
     def feature_window_fn(self, l_t_max: int, ref_max: int, hw: tuple):
         """Jitted one-window transformer + uint8 composite + overlap blend
-        (compiled once per (l_t_max, ref_max, H, W))."""
+        (compiled once per (l_t_max, ref_max, H, W)); used by streaming."""
 
         def build():
             def f(
@@ -577,139 +968,357 @@ class Pipeline:
 
             return f
 
-        return self.jits.get("feature_prop", (l_t_max, ref_max) + tuple(hw), build)
-
-    def feature_propagation(
-        self,
-        updated_frames,
-        updated_masks,
-        masks_dilated,
-        pred_flows,
-        original_frames,
-    ):
-        """Sliding-window transformer inference + on-device composition
-        (propainter_inference.py:228-311).
-
-        original_frames: [T, H, W, 3] float 0..255 integer-valued.
-        Returns composed video [T, H, W, 3] float 0..255 (uint8-exact).
-        """
-        cfg = self.config
-        t = updated_frames.shape[1]
-        dt = self.cdtype
-        flows_f, flows_b = (f.astype(dt) for f in pred_flows)
-        updated_frames = updated_frames.astype(dt)
-        updated_masks = updated_masks.astype(dt)
-        masks_dilated = masks_dilated.astype(dt)
-
-        neighbor_stride = cfg.neighbor_stride
-        ref_num = cfg.subvideo_length // cfg.ref_stride if t > cfg.subvideo_length else -1
-
-        # window plan (host-side, mirrors propainter_inference.py:254-261)
-        windows = []
-        for f in range(0, t, neighbor_stride):
-            neighbor_ids = list(
-                range(max(0, f - neighbor_stride), min(t, f + neighbor_stride + 1))
-            )
-            ref_ids = get_ref_index(f, neighbor_ids, t, cfg.ref_stride, ref_num)
-            windows.append((neighbor_ids, ref_ids))
-
-        # static padded geometry: ONE compile per (l_t_max, ref_bucket)
-        l_t_max = 2 * neighbor_stride + 1
-        ref_max = max((len(r) for _, r in windows), default=0)
-        ref_max = max(2, -(-ref_max // 2) * 2)  # bucket to even
-
-        pad_t = ((0, 0), (0, l_t_max), (0, 0), (0, 0), (0, 0))
-        uf_p = jnp.pad(updated_frames, pad_t)
-        um_p = jnp.pad(updated_masks, pad_t)
-        md_p = jnp.pad(masks_dilated, pad_t)
-        ff_p = jnp.pad(flows_f, pad_t)
-        fb_p = jnp.pad(flows_b, pad_t)
-
-        orig_p = jnp.pad(
-            original_frames.astype(jnp.float32),
-            ((0, l_t_max), (0, 0), (0, 0), (0, 0)),
-        )  # [T + l_t_max, H, W, 3]
-
-        # ---- Window predictions are independent of each other (only the
-        # uint8 blend chain is sequential, propainter_inference.py:294-307),
-        # so run the model BATCHED over fixed-size groups (big MXU batches,
-        # few dispatches). Windows with different (l_t, n_ref) share one
-        # compiled shape: valid counts are per-window [G] vectors (scan
-        # restarts + attention key masks make padded slots inert), and the
-        # last group pads with repeats of its final window.
-        group_size = int(os.environ.get("PROPAINTER_TPU_WINDOW_BATCH", "4"))
-        # with a data-parallel mesh every group must split evenly over the
-        # devices, so the shard_map'd predict always engages
-        group_size = -(-group_size // self._dp()) * self._dp()
-        predict = self.window_predict_fn(l_t_max, ref_max, updated_frames.shape[2:4])
-
-        n_windows = len(windows)
-        imgs_per_window: list = [None] * n_windows
-        for g0 in range(0, n_windows, group_size):
-            grp = list(range(g0, min(n_windows, g0 + group_size)))
-            padded = grp + [grp[-1]] * (group_size - len(grp))
-            sels, valids, n0s, lts, refs = [], [], [], [], []
-            for wi in padded:
-                nids, rids = windows[wi]
-                l_t, n_ref = len(nids), len(rids)
-                sels.append(
-                    nids + [0] * (l_t_max - l_t) + rids + [0] * (ref_max - n_ref)
-                )
-                valids.append(
-                    [1.0] * l_t + [0.0] * (l_t_max - l_t)
-                    + [1.0] * n_ref + [0.0] * (ref_max - n_ref)
-                )
-                n0s.append(nids[0])
-                lts.append(l_t)
-                refs.append(n_ref)
-            sel_idx = jnp.asarray(sels)  # [G, T_sel]
-            valid = jnp.asarray(valids, updated_masks.dtype)[:, :, None, None, None]
-            n0_arr = jnp.asarray(n0s)
-
-            sel_frames = uf_p[0, sel_idx]  # [G, T_sel, H, W, 3]
-            sel_masks = md_p[0, sel_idx] * valid
-            sel_upd = um_p[0, sel_idx] * valid
-            ff = jax.vmap(
-                lambda s: jax.lax.dynamic_slice_in_dim(ff_p[0], s, l_t_max - 1, 0)
-            )(n0_arr)
-            fb = jax.vmap(
-                lambda s: jax.lax.dynamic_slice_in_dim(fb_p[0], s, l_t_max - 1, 0)
-            )(n0_arr)
-            orig_slices = jax.vmap(
-                lambda s: jax.lax.dynamic_slice_in_dim(orig_p, s, l_t_max, 0)
-            )(n0_arr)
-            if self.mesh is not None:
-                from ..parallel.inference import shard_window_batch
-
-                sel_frames, sel_masks, sel_upd, ff, fb, orig_slices = (
-                    shard_window_batch(
-                        self.mesh,
-                        (sel_frames, sel_masks, sel_upd, ff, fb, orig_slices),
-                    )
-                )
-            with stage_timer("feature_propagation") as tm:
-                imgs = tm.set(predict(
-                    self.inpaint_params, sel_frames, sel_masks, sel_upd,
-                    ff, fb, orig_slices, jnp.asarray(lts), jnp.asarray(refs),
-                ))
-            for gi, wi in enumerate(grp):
-                imgs_per_window[wi] = imgs[gi]
-
-        # per-frame blend chains from the deterministic visit order: frame
-        # i is touched by windows {w : i in nids_w} in window order, first
-        # visit replacing, revisits 0.5/0.5 (propainter_inference.py:294-307)
-        chains: list[list[tuple[int, int]]] = [[] for _ in range(t)]
-        for wi, (nids, _) in enumerate(windows):
-            for slot, i in enumerate(nids):
-                chains[i].append((wi, slot))
-        chains_key = tuple(tuple(c) for c in chains)
-
-        blend_fn = self.blend_static_fn(chains_key, updated_frames.shape[2:4])
-        with stage_timer("blend") as tm:
-            composed = tm.set(blend_fn(jnp.stack(imgs_per_window)))
-        return composed[:t]
+        return self.jits.get("feature_window", (l_t_max, ref_max) + tuple(hw), build)
 
     # ------------------------------------------------------------ full run
+
+    def _fused_ok(self, t: int) -> bool:
+        """The fully-fused single-program path covers every clip the
+        staged path would run as single chunks per stage (flow-completion
+        and image-propagation chunking only trigger past subvideo_length).
+        RAFT chunking is folded in regardless (it has no semantics).
+        Opt out with PROPAINTER_TPU_FUSED=0 (e.g. for stage-split
+        instrumentation)."""
+        if os.environ.get("PROPAINTER_TPU_FUSED", "1") == "0":
+            return False
+        return t <= self.config.subvideo_length and t <= 100
+
+    def _process_fn(self, t: int, hw: tuple[int, int]):
+        flow_fn = self._flow_fn(t, hw)
+        complete_fn = self._complete_fn(t - 1)
+        imgprop_fn = self._imgprop_fn(t)
+        feature_fn = self._feature_fn(t)
+
+        def f(raft_prm, flow_prm, inpaint_prm, frames_norm, flow_masks,
+              masks_dilated, original_frames):
+            gt_f, gt_b = flow_fn(raft_prm, frames_norm)
+            pf, pb = complete_fn(flow_prm, gt_f, gt_b, flow_masks)
+            uf, um = imgprop_fn(frames_norm, masks_dilated, pf, pb)
+            return feature_fn(
+                inpaint_prm, uf, um, masks_dilated, pf, pb, original_frames
+            )
+
+        return f
+
+    # ------------------------------------------- minimal-transfer node path
+    #
+    # The ComfyUI node's host<->device traffic dominates wall time when the
+    # chip is remote (the reference never had this problem: its host IS the
+    # GPU host). This path moves EVERYTHING on-device and transfers the
+    # information-theoretic minimum:
+    #   in:  uint8 frames + bit-packed masks (masks are binary; 8x);
+    #   out: the composed video CROPPED to the mask's bounding box
+    #        (composed == original outside the dilated mask, exactly —
+    #        propainter_inference.py:294-307 composites pred*m + orig*(1-m)
+    #        with a binary m, so only the crop carries information) plus
+    #        bit-packed mask crops; the host pastes them back.
+
+    def _node_fn(
+        self, t: int, hw: tuple[int, int], crop_hw: tuple[int, int],
+        dilates: tuple[int, int], mask_hw: tuple[int, int] | None,
+    ):
+        """Pure fn(raft_p, flow_p, inpaint_p, frames_u8, mask_in, y0, x0)
+        -> (composed_crop_u8, flow_mask_bits, dilated_mask_bits).
+
+        frames_u8: [T, H, W, 3] uint8 at process size and mask_in
+        bit-packed [T, H, W//8] uint8 when mask_hw is None; when the host
+        had no PIL, mask_hw=(mh, mw) and both arrive raw uint8 at input
+        resolution to resize on device (prepare_frames semantics). y0/x0:
+        traced crop offsets; crop_hw static."""
+        from ..ops import binary_dilation
+        from ..utils.image import resize_frames
+
+        ph, pw = hw
+        ch, cw = crop_hw
+        fd, md = dilates
+
+        def f(raft_prm, flow_prm, inpaint_prm, frames_u8, mask_in, y0, x0):
+            byte = frames_u8.astype(jnp.float32)
+            if mask_hw is not None:
+                byte = resize_frames(byte, pw, ph)
+            frames_norm = byte / 255.0 * 2.0 - 1.0
+            if mask_hw is None:
+                base = jnp.unpackbits(mask_in, axis=-1, count=pw).astype(
+                    jnp.float32
+                )
+            else:
+                r = resize_frames(
+                    mask_in.astype(jnp.float32)[..., None], pw, ph
+                )[..., 0]
+                base = (r > 0.5).astype(jnp.float32)
+            flow_masks = (binary_dilation(base, fd) if fd > 0 else base)[
+                ..., None
+            ]
+            masks_dilated = (binary_dilation(base, md) if md > 0 else base)[
+                ..., None
+            ]
+            composed = self._process_fn(t, hw)(
+                raft_prm, flow_prm, inpaint_prm, frames_norm[None],
+                flow_masks[None], masks_dilated[None], byte,
+            )
+            comp_crop = jax.lax.dynamic_slice(
+                composed, (0, y0, x0, 0), (t, ch, cw, 3)
+            ).astype(jnp.uint8)
+            fm_crop = jax.lax.dynamic_slice(
+                flow_masks[..., 0], (0, y0, x0), (t, ch, cw)
+            )
+            md_crop = jax.lax.dynamic_slice(
+                masks_dilated[..., 0], (0, y0, x0), (t, ch, cw)
+            )
+            fm_bits = jnp.packbits((fm_crop > 0).astype(jnp.uint8), axis=-1)
+            md_bits = jnp.packbits((md_crop > 0).astype(jnp.uint8), axis=-1)
+            return comp_crop, fm_bits, md_bits
+
+        return f
+
+    def _prep_fn(
+        self, t: int, hw: tuple[int, int], dilates: tuple[int, int],
+        mask_hw: tuple[int, int] | None,
+    ):
+        """Prep-only program for clips too long to fuse end-to-end."""
+        from ..ops import binary_dilation
+        from ..utils.image import resize_frames
+
+        ph, pw = hw
+        fd, md = dilates
+
+        def f(frames_u8, mask_in):
+            byte = frames_u8.astype(jnp.float32)
+            if mask_hw is not None:
+                byte = resize_frames(byte, pw, ph)
+            frames_norm = byte / 255.0 * 2.0 - 1.0
+            if mask_hw is None:
+                base = jnp.unpackbits(mask_in, axis=-1, count=pw).astype(
+                    jnp.float32
+                )
+            else:
+                r = resize_frames(
+                    mask_in.astype(jnp.float32)[..., None], pw, ph
+                )[..., 0]
+                base = (r > 0.5).astype(jnp.float32)
+            flow_masks = (binary_dilation(base, fd) if fd > 0 else base)[
+                ..., None
+            ]
+            masks_dilated = (binary_dilation(base, md) if md > 0 else base)[
+                ..., None
+            ]
+            return frames_norm, byte, flow_masks, masks_dilated
+
+        return f
+
+    def _finalize_fn(self, t: int, crop_hw: tuple[int, int]):
+        ch, cw = crop_hw
+
+        def f(composed, flow_masks, masks_dilated, y0, x0):
+            comp_crop = jax.lax.dynamic_slice(
+                composed, (0, y0, x0, 0), (t, ch, cw, 3)
+            ).astype(jnp.uint8)
+            fm_crop = jax.lax.dynamic_slice(
+                flow_masks[0, ..., 0], (0, y0, x0), (t, ch, cw)
+            )
+            md_crop = jax.lax.dynamic_slice(
+                masks_dilated[0, ..., 0], (0, y0, x0), (t, ch, cw)
+            )
+            fm_bits = jnp.packbits((fm_crop > 0).astype(jnp.uint8), axis=-1)
+            md_bits = jnp.packbits((md_crop > 0).astype(jnp.uint8), axis=-1)
+            return comp_crop, fm_bits, md_bits
+
+        return f
+
+    def _node_outpaint_fn(
+        self, t: int, hw: tuple[int, int], canvas_hw: tuple[int, int],
+        resize: bool,
+    ):
+        """Pure fn(raft_p, flow_p, inpaint_p, frames_u8) -> tuple of the
+        composed canvas's uint8 OUTPAINT BANDS (top, bottom, left, right —
+        empty bands omitted). The interior equals the input bytes exactly
+        (masks_dilated is 0 there), so the host pastes bands around the
+        frames it already has. Ring geometry mirrors the reference's
+        extrapolation (utils/image_utils.py:200-252)."""
+        from ..utils.image import resize_frames
+
+        ph, pw = hw
+        chh, cww = canvas_hw
+        h_start = (chh - ph) // 2
+        w_start = (cww - pw) // 2
+        dil_h = 4 if h_start > 10 else 0
+        dil_w = 4 if w_start > 10 else 0
+
+        def f(raft_prm, flow_prm, inpaint_prm, frames_u8):
+            byte = frames_u8.astype(jnp.float32)
+            if resize:
+                byte = resize_frames(byte, pw, ph)
+            canvas = jnp.zeros((t, chh, cww, 3), jnp.float32)
+            canvas = jax.lax.dynamic_update_slice(
+                canvas, byte, (0, h_start, w_start, 0)
+            )
+            flow_mask = jnp.ones((chh, cww), jnp.float32)
+            flow_mask = flow_mask.at[
+                h_start + dil_h : h_start + ph - dil_h,
+                w_start + dil_w : w_start + pw - dil_w,
+            ].set(0.0)
+            mask_dilated = jnp.ones((chh, cww), jnp.float32)
+            mask_dilated = mask_dilated.at[
+                h_start : h_start + ph, w_start : w_start + pw
+            ].set(0.0)
+            fm = jnp.broadcast_to(
+                flow_mask[None, :, :, None], (t, chh, cww, 1)
+            )
+            md = jnp.broadcast_to(
+                mask_dilated[None, :, :, None], (t, chh, cww, 1)
+            )
+            frames_norm = canvas / 255.0 * 2.0 - 1.0
+            composed = self._process_fn(t, canvas_hw)(
+                raft_prm, flow_prm, inpaint_prm, frames_norm[None],
+                fm[None], md[None], canvas,
+            ).astype(jnp.uint8)
+            bands = []
+            if h_start:
+                bands.append(composed[:, :h_start])
+                bands.append(composed[:, chh - (chh - h_start - ph) :])
+            if w_start:
+                mid = composed[:, h_start : h_start + ph]
+                bands.append(mid[:, :, :w_start])
+                bands.append(mid[:, :, cww - (cww - w_start - pw) :])
+            return tuple(bands)
+
+        return f
+
+    def process_node_outpaint(
+        self, frames_u8, frame_hw: tuple[int, int], canvas_hw: tuple[int, int],
+        resize: bool = False,
+    ):
+        """Outpaint node run with minimal transfers: uint8 frames up, the
+        outpainted uint8 bands down (the ring masks are static geometry —
+        the host rebuilds them with numpy, nothing is fetched).
+
+        frame_hw: the pre-canvas (resized input) frame size (ph, pw);
+        config.process_size is the CANVAS for outpainting."""
+        t = frames_u8.shape[0]
+        ph, pw = frame_hw
+        cfg = self.config
+        if self._fused_ok(t):
+            key = (
+                t, (ph, pw), canvas_hw, resize, cfg.raft_iter,
+                cfg.raft_chunk_len(), self._feature_key(t),
+            )
+            fn = self.jits.get(
+                "node_outpaint", key,
+                lambda: self._node_outpaint_fn(t, (ph, pw), canvas_hw, resize),
+            )
+            self._report("process", 0, 1)
+            with stage_timer("process_node_outpaint") as tm:
+                out = tm.set(fn(
+                    self.raft_params, self.flow_params, self.inpaint_params,
+                    frames_u8,
+                ))
+            self._report("process", 1, 1)
+            return out
+
+        # long clips: staged stage programs between a canvas-prep program
+        # and a band-slicing program
+        from ..utils.image import extrapolate_frames
+
+        chh, cww = canvas_hw
+        h_start = (chh - ph) // 2
+        w_start = (cww - pw) // 2
+
+        def build_prep():
+            from ..utils.image import resize_frames
+
+            def f(frames_u8):
+                byte = frames_u8.astype(jnp.float32)
+                if resize:
+                    byte = resize_frames(byte, pw, ph)
+                return extrapolate_frames(byte / 255.0, pw, ph, cww, chh)
+
+            return f
+
+        prep = self.jits.get(
+            "node_outpaint_prep", (t, (ph, pw), canvas_hw, resize), build_prep
+        )
+        canvas, fm, md = prep(frames_u8)
+        original = jnp.floor(jnp.clip(canvas * 255.0, 0.0, 255.0))
+        composed = self.process(canvas[None] * 2.0 - 1.0, fm[None], md[None], original)
+
+        def build_bands():
+            def f(composed):
+                composed = composed.astype(jnp.uint8)
+                bands = []
+                if h_start:
+                    bands.append(composed[:, :h_start])
+                    bands.append(composed[:, chh - (chh - h_start - ph) :])
+                if w_start:
+                    mid = composed[:, h_start : h_start + ph]
+                    bands.append(mid[:, :, :w_start])
+                    bands.append(mid[:, :, cww - (cww - w_start - pw) :])
+                return tuple(bands)
+
+            return f
+
+        fin = self.jits.get("node_outpaint_bands", (t, (ph, pw), canvas_hw), build_bands)
+        return fin(composed)
+
+    def process_node(
+        self,
+        frames_u8,
+        mask_in,
+        crop: tuple[int, int, int, int],
+        dilates: tuple[int, int],
+        mask_resize: tuple[int, int] | None = None,
+    ):
+        """Full node run with minimal transfers.
+
+        frames_u8: [T, H, W, 3] uint8 (process size). mask_in: bit-packed
+        [T, H, W//8] (or raw [T, mh, mw] uint8 when mask_resize=(mh, mw)).
+        crop: (y0, x0, ch, cw) — the mask bounding box grown by the
+        dilation radius, bucketed; ch/cw are static, y0/x0 traced.
+        dilates: (flow_mask_dilates, mask_dilates).
+        Returns (composed_crop_u8 [T,ch,cw,3], flow_mask_bits, dilated_
+        mask_bits [T,ch,cw//8]) — device arrays; fetch with np.asarray.
+        """
+        t = frames_u8.shape[0]
+        if mask_resize is None:
+            ph, pw = frames_u8.shape[1], frames_u8.shape[2]
+        else:  # device-resize path: frames arrive at input resolution
+            pw, ph = self.config.process_size
+        y0, x0, ch, cw = crop
+        y0 = jnp.asarray(y0, jnp.int32)
+        x0 = jnp.asarray(x0, jnp.int32)
+        hw = (ph, pw)
+        cfg = self.config
+
+        if self._fused_ok(t):
+            key = (
+                t, hw, (ch, cw), dilates, mask_resize, cfg.raft_iter,
+                cfg.raft_chunk_len(), self._feature_key(t),
+            )
+            fn = self.jits.get(
+                "node_fused", key,
+                lambda: self._node_fn(t, hw, (ch, cw), dilates, mask_resize),
+            )
+            self._report("process", 0, 1)
+            with stage_timer("process_node_fused") as tm:
+                out = tm.set(fn(
+                    self.raft_params, self.flow_params, self.inpaint_params,
+                    frames_u8, mask_in, y0, x0,
+                ))
+            self._report("process", 1, 1)
+            return out
+
+        prep = self.jits.get(
+            "node_prep", (t, hw, dilates, mask_resize),
+            lambda: self._prep_fn(t, hw, dilates, mask_resize),
+        )
+        frames_norm, byte, flow_masks, masks_dilated = prep(frames_u8, mask_in)
+        composed = self.process(
+            frames_norm[None], flow_masks[None], masks_dilated[None], byte
+        )
+        fin = self.jits.get(
+            "node_finalize", (t, hw, (ch, cw)),
+            lambda: self._finalize_fn(t, (ch, cw)),
+        )
+        return fin(composed, flow_masks[None], masks_dilated[None], y0, x0)
 
     def process(self, frames_norm, flow_masks, masks_dilated, original_frames):
         """Full process_inpainting + feature_propagation
@@ -719,7 +1328,28 @@ class Pipeline:
         flow_masks / masks_dilated: [1, T, H, W, 1]
         original_frames: [T, H, W, 3] float 0..255
         Returns composed [T, H, W, 3] float 0..255.
+
+        For clips within one subvideo chunk this is ONE compiled XLA
+        program (single dispatch); longer videos run the four stage
+        programs (one dispatch each, chunk loops traced inside).
         """
+        t = frames_norm.shape[1]
+        if self._fused_ok(t):
+            hw = frames_norm.shape[2:4]
+            key = (
+                t, hw, self.config.raft_iter, self.config.raft_chunk_len(),
+                self._feature_key(t),
+            )
+            fn = self.jits.get("process_fused", key, lambda: self._process_fn(t, hw))
+            self._report("process", 0, 1)
+            with stage_timer("process_fused") as tm:
+                out = tm.set(fn(
+                    self.raft_params, self.flow_params, self.inpaint_params,
+                    frames_norm, flow_masks, masks_dilated, original_frames,
+                ))
+            self._report("process", 1, 1)
+            return out
+
         gt_flows = self.compute_flow(frames_norm)
         pred_flows = self.complete_flow(gt_flows, flow_masks)
         updated_frames, updated_masks = self.image_propagation(

@@ -206,7 +206,8 @@ def process_streaming(
     ref_span = cfg.ref_stride * (ref_num // 2) if ref_num > 0 else t
 
     dt = pipe.cdtype
-    for neighbor_ids, ref_ids in windows:
+    n_windows = len(windows)
+    for win_i, (neighbor_ids, ref_ids) in enumerate(windows):
         l_t = len(neighbor_ids)
         n_ref = len(ref_ids)
         n0 = neighbor_ids[0]
@@ -272,6 +273,8 @@ def process_streaming(
         )
         for i in neighbor_ids:
             visited[i] = True
+
+        pipe._report("feature_windows", win_i + 1, n_windows)
 
         # frames before the next window's reach are final -> flush
         final_hi = min(n0, t)

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import contextlib
 import os
+import sys
 import time
 from collections import defaultdict
 
@@ -77,6 +78,96 @@ def stage_timer(name: str):
             _materialize(slot.value)
     _TIMES[name] += time.perf_counter() - t0
     _COUNTS[name] += 1
+
+
+_CALLBACKS_OK: bool | None = None
+
+
+def callbacks_supported() -> bool:
+    """Whether the active backend supports host callbacks from traced
+    programs (jax.debug.callback). The remote-tunneled TPU backend
+    (axon_pjrt) does not implement host send/recv; probing once lets the
+    feature stage bake in-flight progress ticks only where they can run.
+    """
+    global _CALLBACKS_OK
+    if _CALLBACKS_OK is None:
+        try:
+            def _probe(x):
+                jax.debug.callback(lambda _v: None, x)
+                return x + 1
+
+            np.asarray(jax.jit(_probe)(jax.numpy.zeros(())))
+            _CALLBACKS_OK = True
+        except Exception:  # noqa: BLE001 - any failure means "no"
+            _CALLBACKS_OK = False
+    return _CALLBACKS_OK
+
+
+def progress_report(callback, stage: str, done: int, total: int) -> None:
+    """Invoke a user progress callback, swallowing its errors.
+
+    The reference surfaces progress as a tqdm bar over the window loop
+    (propainter_inference.py:7,254); here every pipeline stage reports
+    (stage, done, total) through `Pipeline.progress` — a tqdm adapter or
+    any callable. Errors in the callback never kill a run."""
+    if callback is None:
+        return
+    try:
+        callback(stage, done, total)
+    except Exception:  # noqa: BLE001 - observability must not break runs
+        pass
+
+
+class NodeProgress:
+    """Progress sink for node invocations (tqdm-equivalent of the
+    reference's window bar, propainter_inference.py:7,254).
+
+    Routes (stage, done, total) reports to, in order of availability:
+    ComfyUI's native ProgressBar (drives the web UI), tqdm on stderr, or
+    plain stderr lines (at most one per second). Ticks may arrive out of
+    order from async device callbacks; progress is kept monotonic per
+    stage."""
+
+    def __init__(self, video_length: int | None = None):
+        self._done: dict[str, int] = {}
+        self._last_print = 0.0
+        self._comfy_bar = None
+        self._tqdm = {}
+        try:  # inside a ComfyUI runtime only
+            from comfy.utils import ProgressBar  # type: ignore
+
+            if video_length:
+                self._comfy_bar = ProgressBar(video_length)
+        except Exception:  # noqa: BLE001 - standalone use
+            pass
+
+    def __call__(self, stage: str, done: int, total: int) -> None:
+        done = max(done, self._done.get(stage, 0))
+        self._done[stage] = done
+        if self._comfy_bar is not None and total:
+            self._comfy_bar.update_absolute(
+                int(self._comfy_bar.total * done / total)
+            )
+            return
+        try:
+            from tqdm import tqdm
+
+            bar = self._tqdm.get(stage)
+            if bar is None:
+                bar = self._tqdm[stage] = tqdm(
+                    total=total, desc=stage, leave=False
+                )
+            bar.update(done - bar.n)
+            if done >= total:
+                bar.close()
+                del self._tqdm[stage]
+            return
+        except ImportError:
+            pass
+        now = time.perf_counter()
+        if done >= total or now - self._last_print >= 1.0:
+            self._last_print = now
+            print(f"[propainter] {stage}: {done}/{total}", file=sys.stderr)
 
 
 def reset():

@@ -33,12 +33,32 @@ MODEL_FILES = {
     "inpaint_generator": "ProPainter.pth",
 }
 
-# Pinned digests of the upstream release artifacts. Empty entries use
-# trust-on-first-use: the first verified download records its digest in a
-# `<file>.sha256` sidecar, and every later load checks against it (the
-# build environment is air-gapped, so the canonical digests cannot be
-# fetched here; pin them once a connected environment observes them).
+# Pinned digests of the upstream release artifacts. The build environment
+# is air-gapped (the canonical release bytes cannot be observed here), so
+# the table ships empty and pins live in `known_sha256.json` next to this
+# module: the FIRST connected environment that downloads and validates the
+# checkpoints writes it via `scripts/parity_real_weights.py --write-pins`
+# (which also proves the weights are real by running the reference-parity
+# gate). Until a pin exists, trust-on-first-use applies: the first
+# verified download records its digest in a `<file>.sha256` sidecar and
+# every later load checks against it.
 KNOWN_SHA256: dict[str, str] = {}
+
+_PINS_PATH = os.path.join(os.path.dirname(__file__), "known_sha256.json")
+if os.path.exists(_PINS_PATH):
+    with open(_PINS_PATH) as _f:
+        KNOWN_SHA256.update(json.load(_f))
+
+
+def write_pins(digests: dict[str, str]) -> str:
+    """Persist observed checkpoint digests as the pinned table."""
+    merged = dict(KNOWN_SHA256)
+    merged.update(digests)
+    with open(_PINS_PATH, "w") as f:
+        json.dump(merged, f, indent=2, sort_keys=True)
+        f.write("\n")
+    KNOWN_SHA256.update(merged)
+    return _PINS_PATH
 
 
 def _sha256(path: str) -> str:

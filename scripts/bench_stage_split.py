@@ -214,7 +214,7 @@ if which in ("raft", "all"):
     flow = jnp.asarray((rng.standard_normal((N, h8, w8, 2)) * 2).astype(f32))
     timeit(
         f"update block x1 [{N},{h8}x{w8}]",
-        lambda n_, i_, c_, f_: rf._update_block(prm, n_, i_, c_, f_),
+        lambda n_, i_, c_, f_: rf._update_block(prm, n_, i_, c_, f_)[0],
         net,
         inp,
         corr,

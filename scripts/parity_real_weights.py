@@ -1,0 +1,328 @@
+"""Real-pretrained-weights parity gate: SSIM/PSNR vs the torch reference.
+
+The BASELINE.md north star (SSIM >= 0.99 vs the PyTorch reference
+pipeline) can only execute where the three upstream checkpoints exist
+(`raft-things.pth`, `recurrent_flow_completion.pth`, `ProPainter.pth`
+from github.com/sczhou/ProPainter releases v0.1.0 — the files the
+reference loads at utils/model_utils.py:20-46). The build environment is
+air-gapped, so this script is the READY-TO-FIRE form of that gate: run it
+in any environment that has the checkpoints (downloaded automatically if
+the network allows) and it
+
+  1. verifies/records the checkpoint SHA256s (`--write-pins` persists
+     them as the package's pinned table, utils/known_sha256.json);
+  2. runs the REFERENCE pipeline (torch CPU, /root/reference or
+     --reference path, torchvision stubbed like the test oracles) and
+     OUR pipeline on the same 24-frame clip at BASELINE config 1;
+  3. prints SSIM / PSNR / max|diff| for:
+        - ours fp32      vs reference fp32   (the >=0.99 gate)
+        - ours bf16      vs reference fp32   (fp16="enable" product mode)
+        - ours raft_bf16 vs ours fp32        (the raft_bf16 knob's cost)
+     one JSON line each, plus PASS/FAIL against --ssim-gate (0.99).
+
+Usage:
+    python scripts/parity_real_weights.py [--frames N] [--size WxH]
+        [--write-pins] [--reference /path/to/reference] [--ssim-gate S]
+
+Exit codes: 0 = all gates pass, 1 = a gate failed, 2 = checkpoints
+unavailable (air-gapped and not on disk) — "not run" rather than "fail".
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests")
+)
+
+
+# ------------------------------------------------------------------ metrics
+
+
+def _gaussian_kernel(size: int = 11, sigma: float = 1.5) -> np.ndarray:
+    x = np.arange(size) - size // 2
+    g = np.exp(-(x**2) / (2 * sigma**2))
+    return g / g.sum()
+
+
+def ssim(a: np.ndarray, b: np.ndarray, data_range: float = 255.0) -> float:
+    """Mean SSIM over frames/channels (Wang et al. 2004 constants,
+    11x11 Gaussian window, sigma 1.5 — skimage-compatible settings)."""
+    from scipy.ndimage import convolve1d
+
+    a = a.astype(np.float64)
+    b = b.astype(np.float64)
+    k = _gaussian_kernel()
+
+    def blur(x):
+        # separable Gaussian over the two spatial axes (T, H, W, C input)
+        x = convolve1d(x, k, axis=1, mode="reflect")
+        return convolve1d(x, k, axis=2, mode="reflect")
+
+    c1 = (0.01 * data_range) ** 2
+    c2 = (0.03 * data_range) ** 2
+    mu_a, mu_b = blur(a), blur(b)
+    va = blur(a * a) - mu_a * mu_a
+    vb = blur(b * b) - mu_b * mu_b
+    cov = blur(a * b) - mu_a * mu_b
+    num = (2 * mu_a * mu_b + c1) * (2 * cov + c2)
+    den = (mu_a**2 + mu_b**2 + c1) * (va + vb + c2)
+    return float((num / den).mean())
+
+
+def psnr(a: np.ndarray, b: np.ndarray, data_range: float = 255.0) -> float:
+    mse = float(((a.astype(np.float64) - b.astype(np.float64)) ** 2).mean())
+    if mse == 0:
+        return float("inf")
+    return 10.0 * np.log10(data_range**2 / mse)
+
+
+# -------------------------------------------------------------------- clip
+
+
+def synthetic_clip(t: int, h: int, w: int):
+    """Deterministic textured clip + moving occluder mask (the bench
+    clip, so numbers line up with bench.py runs)."""
+    rng = np.random.default_rng(0)
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = np.stack([yy / h, xx / w, (yy + xx) / (h + w)], axis=-1).astype(
+        np.float32
+    )
+    base = np.clip(base + rng.uniform(-0.05, 0.05, base.shape), 0, 1)
+    frames = np.repeat(base[None], t, axis=0).copy()
+    masks = np.zeros((t, h, w), dtype=np.float32)
+    for i in range(t):
+        x0 = int(w * 0.2) + 3 * i
+        y0 = int(h * 0.3) + i
+        frames[i, y0 : y0 + h // 6, x0 : x0 + w // 8] = [1.0, 0.2, 0.2]
+        masks[i, y0 : y0 + h // 6, x0 : x0 + w // 8] = 1.0
+    return (frames * 255).astype(np.uint8), (masks * 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------- pipelines
+
+
+def obtain_checkpoints() -> dict[str, str] | None:
+    """Ensure the three .pth files exist locally; return {model: path} or
+    None when unavailable (air gap)."""
+    from comfyui_propainter_nodes_tpu.utils import weights as wz
+
+    paths = {}
+    for model, fname in wz.MODEL_FILES.items():
+        pth = os.path.join(wz.weights_dir(), fname)
+        if not os.path.exists(pth):
+            try:
+                wz.download_model(wz.PRETRAIN_MODEL_URL + fname, pth)
+            except Exception as e:  # noqa: BLE001
+                print(f"cannot obtain {fname}: {e}", file=sys.stderr)
+                return None
+        paths[model] = pth
+    return paths
+
+
+def run_reference(frames_u8, masks_u8, size, cfg_kwargs, ckpts, ref_root):
+    """The torch reference end-to-end, mirroring ProPainterInpaint.
+    propainter_inpainting (propainter_nodes.py:94-154) with real
+    checkpoints on CPU fp32."""
+    import torch
+    import oracles
+    from oracles import import_reference_module, install_reference_path
+
+    oracles.REFERENCE_ROOT = os.environ.get("PROPAINTER_REFERENCE", ref_root)
+    install_reference_path()
+
+    from model.modules.RAFT.raft import RAFT  # noqa: E402
+    from model.recurrent_flow_completion import (  # noqa: E402
+        RecurrentFlowCompleteNet,
+    )
+    from model.propainter import InpaintGenerator  # noqa: E402
+
+    ref_inference = import_reference_module("propainter_inference")
+    ref_image = import_reference_module("utils.image_utils")
+
+    args = argparse.Namespace(
+        small=False, mixed_precision=False, alternate_corr=False, dropout=0
+    )
+    raft = RAFT(args)
+    sd = torch.load(ckpts["raft"], map_location="cpu")
+    raft.load_state_dict(
+        {k.replace("module.", ""): v for k, v in sd.items()}, strict=True
+    )
+    raft.eval()
+    fcm = RecurrentFlowCompleteNet(ckpts["flow_completion"])
+    fcm.eval()
+    ipg = InpaintGenerator(model_path=ckpts["inpaint_generator"])
+    ipg.eval()
+
+    class _RaftBi(torch.nn.Module):
+        def __init__(self, m):
+            super().__init__()
+            self.raft = m
+
+        def forward(self, frames, iters):
+            b, t, c, h, w = frames.shape
+            f1 = frames[:, :-1].reshape(-1, c, h, w)
+            f2 = frames[:, 1:].reshape(-1, c, h, w)
+            _, fwd = self.raft(f1, f2, iters=iters, test_mode=True)
+            _, bwd = self.raft(f2, f1, iters=iters, test_mode=True)
+            return fwd.view(b, t - 1, 2, h, w), bwd.view(b, t - 1, 2, h, w)
+
+    class _Models:
+        def __init__(s):
+            s.raft_model = _RaftBi(raft)
+            s.flow_model = fcm
+            s.inpaint_model = ipg
+
+    w, h = size
+    t = len(frames_u8)
+    # ComfyUI IMAGE/MASK tensors: [T, H, W, 3] and [T, H, W] float 0..1
+    image = torch.from_numpy(frames_u8.astype(np.float32) / 255.0)
+    mask = torch.from_numpy(masks_u8.astype(np.float32) / 255.0)
+    frames = ref_image.convert_image_to_frames(image)
+    icfg = ref_image.ImageConfig(
+        w, h, 5, 8, frames[0].size, t
+    )
+    cfg = ref_inference.ProPainterConfig(
+        fp16="disable",
+        video_length=t,
+        device=torch.device("cpu"),
+        process_size=icfg.process_size,
+        **cfg_kwargs,
+    )
+    fr, fl, md, original = ref_image.prepare_frames_and_masks(
+        frames, mask, icfg, torch.device("cpu")
+    )
+    with torch.no_grad():
+        uf, um, pf = ref_inference.process_inpainting(_Models(), fr, fl, md, cfg)
+        composed = ref_inference.feature_propagation(
+            ipg, uf, um, md, pf, original, cfg
+        )
+    return np.stack(composed)
+
+
+def run_ours(frames_u8, masks_u8, size, cfg_kwargs, fp16, raft_bf16):
+    from comfyui_propainter_nodes_tpu.nodes import ProPainterInpaint
+    from comfyui_propainter_nodes_tpu import nodes as nodes_mod
+    from comfyui_propainter_nodes_tpu.config import PipelineConfig
+
+    node = ProPainterInpaint()
+    orig_get = nodes_mod.get_pipeline
+    if raft_bf16:
+        nodes_mod.get_pipeline = lambda cfg, rnd=False: orig_get(
+            cfg.replace(raft_bf16=True), rnd
+        )
+    try:
+        out = node.propainter_inpainting(
+            frames_u8,
+            masks_u8,
+            width=size[0],
+            height=size[1],
+            mask_dilates=5,
+            flow_mask_dilates=8,
+            ref_stride=cfg_kwargs["ref_stride"],
+            neighbor_length=cfg_kwargs["neighbor_length"],
+            subvideo_length=cfg_kwargs["subvideo_length"],
+            raft_iter=cfg_kwargs["raft_iter"],
+            fp16=fp16,
+        )
+    finally:
+        nodes_mod.get_pipeline = orig_get
+    return (np.asarray(out[0]) * 255.0 + 0.5).astype(np.uint8)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=24)
+    ap.add_argument("--size", default="432x240", help="WxH (BASELINE cfg 1)")
+    ap.add_argument("--ssim-gate", type=float, default=0.99)
+    ap.add_argument("--reference", default="/root/reference")
+    ap.add_argument("--write-pins", action="store_true")
+    ap.add_argument(
+        "--skip-reference",
+        action="store_true",
+        help="only run ours fp32 vs bf16 vs raft_bf16 (no torch oracle)",
+    )
+    args = ap.parse_args()
+    w, h = (int(v) for v in args.size.split("x"))
+
+    ckpts = obtain_checkpoints()
+    if ckpts is None:
+        print(
+            json.dumps(
+                {
+                    "status": "not_run",
+                    "reason": "pretrained checkpoints unavailable "
+                    "(air-gapped); place raft-things.pth, "
+                    "recurrent_flow_completion.pth, ProPainter.pth in the "
+                    "weights dir and re-run",
+                }
+            )
+        )
+        return 2
+
+    from comfyui_propainter_nodes_tpu.utils import weights as wz
+
+    digests = {
+        os.path.basename(p): wz.verify_checksum(p) for p in ckpts.values()
+    }
+    print(json.dumps({"sha256": digests}))
+    if args.write_pins:
+        path = wz.write_pins(digests)
+        print(json.dumps({"pins_written": path}))
+
+    frames_u8, masks_u8 = synthetic_clip(args.frames, h, w)
+    cfg_kwargs = dict(
+        ref_stride=10, neighbor_length=10, subvideo_length=80, raft_iter=20
+    )
+
+    ours_fp32 = run_ours(
+        frames_u8, masks_u8, (w, h), cfg_kwargs, "disable", False
+    )
+    ours_bf16 = run_ours(frames_u8, masks_u8, (w, h), cfg_kwargs, "enable", False)
+    ours_raftbf16 = run_ours(
+        frames_u8, masks_u8, (w, h), cfg_kwargs, "enable", True
+    )
+
+    results = []
+
+    def record(name, a, b, gate=None):
+        s = ssim(a, b)
+        r = {
+            "pair": name,
+            "ssim": round(s, 5),
+            "psnr": round(psnr(a, b), 2),
+            "max_abs_diff": int(np.abs(a.astype(int) - b.astype(int)).max()),
+        }
+        if gate is not None:
+            r["gate"] = gate
+            r["pass"] = bool(s >= gate)
+        print(json.dumps(r))
+        results.append(r)
+
+    if not args.skip_reference:
+        ref = run_reference(
+            frames_u8, masks_u8, (w, h), cfg_kwargs, ckpts, args.reference
+        )
+        record("ours_fp32_vs_reference", ours_fp32, ref, gate=args.ssim_gate)
+        record("ours_bf16_vs_reference", ours_bf16, ref, gate=args.ssim_gate)
+    record("ours_bf16_vs_ours_fp32", ours_bf16, ours_fp32)
+    record("ours_raft_bf16_vs_ours_bf16", ours_raftbf16, ours_bf16)
+
+    failed = [r for r in results if r.get("pass") is False]
+    print(
+        json.dumps(
+            {"status": "fail" if failed else "pass", "n_failed": len(failed)}
+        )
+    )
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

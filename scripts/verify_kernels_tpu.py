@@ -1,0 +1,235 @@
+"""On-device Pallas-kernel verification at pipeline shapes.
+
+The interpret-mode tests (tests/test_pallas_kernels.py,
+tests/test_pallas_attention.py) pin kernel SEMANTICS on CPU; this script
+closes the Mosaic-vs-interpreter gap by asserting, on the real chip, that
+each Pallas kernel matches its XLA twin at the shapes the 640x360
+pipeline actually runs:
+
+  1. modulated deform conv (ops/pallas/deform_conv.py) vs
+     ops/deform_conv.py::deform_conv2d_xla — feature-prop shape
+     [12, 90, 160, 128], 16 offset groups (reference call sites
+     model/propainter.py:73-82, model/recurrent_flow_completion.py:44-53);
+  2. RAFT correlation window lookup (models/raft.py::lookup_corr):
+     one-hot-einsum MXU path and the Pallas DMA kernel
+     (ops/pallas/corr_lookup.py) vs the dynamic-slice fallback at RAFT
+     1/8-res pyramid shapes (reference RAFT/corr.py:29-50);
+  3. occupancy-sparse window attention (ops/pallas/window_attention.py)
+     via ops/attention.py::sparse_window_attention — kernel path vs the
+     XLA both-branch fallback at the transformer's token shapes
+     (reference sparse_transformer.py:201-393).
+
+Runs on whatever the default JAX backend is (the driver's TPU); prints
+one JSON line per check and exits non-zero on any mismatch. Driver-
+runnable like bench.py: `python scripts/verify_kernels_tpu.py`.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+RESULTS = []
+
+
+def record(name: str, out, ref, atol: float, rtol: float) -> None:
+    out = np.asarray(out, np.float64)
+    ref = np.asarray(ref, np.float64)
+    adiff = np.abs(out - ref)
+    rdiff = adiff / np.maximum(np.abs(ref), 1e-6)
+    ok = bool(np.all(adiff <= atol + rtol * np.abs(ref)))
+    rec = {
+        "check": name,
+        "backend": jax.default_backend(),
+        "max_abs_diff": float(adiff.max()),
+        "max_rel_diff": float(rdiff.max()),
+        "atol": atol,
+        "rtol": rtol,
+        "pass": ok,
+    }
+    RESULTS.append(rec)
+    print(json.dumps(rec), flush=True)
+
+
+def check_deform_conv() -> None:
+    from comfyui_propainter_nodes_tpu.ops.deform_conv import deform_conv2d_xla
+    from comfyui_propainter_nodes_tpu.ops.pallas.deform_conv import (
+        deform_conv2d_pallas,
+    )
+
+    rng = np.random.default_rng(0)
+    # feature-propagation shape at 640x360: 1/4-res features, C=128, G=16
+    n, h, w, cin, cout, g = 12, 90, 160, 128, 128, 16
+    x = jnp.asarray(rng.standard_normal((n, h, w, cin)).astype(np.float32))
+    off = jnp.asarray(
+        (rng.standard_normal((n, h, w, g, 9, 2)) * 3).astype(np.float32)
+    )
+    mask = jnp.asarray(rng.uniform(0, 1, (n, h, w, g, 9)).astype(np.float32))
+    wgt = jnp.asarray(
+        (rng.standard_normal((3, 3, cin, cout)) * 0.05).astype(np.float32)
+    )
+    bias = jnp.asarray(rng.standard_normal((cout,)).astype(np.float32))
+
+    ref = jax.jit(deform_conv2d_xla)(x, off, mask, wgt, bias)
+    out = jax.jit(deform_conv2d_pallas)(x, off, mask, wgt, bias)
+    record("deform_conv_fp32_12x90x160x128_g16", out, ref, 2e-3, 2e-3)
+
+    bf = jnp.bfloat16
+    ref_b = jax.jit(deform_conv2d_xla)(
+        x.astype(bf), off.astype(bf), mask.astype(bf), wgt.astype(bf),
+        bias.astype(bf),
+    )
+    out_b = jax.jit(deform_conv2d_pallas)(
+        x.astype(bf), off.astype(bf), mask.astype(bf), wgt.astype(bf),
+        bias.astype(bf),
+    )
+    # bf16 taps round differently between the two programs; bound the gap
+    # against the fp32 truth instead of each other
+    record("deform_conv_bf16_vs_fp32_xla", out_b, ref, 0.25, 0.1)
+    record("deform_conv_bf16_pallas_vs_bf16_xla", out_b, ref_b, 0.25, 0.1)
+
+
+def check_corr_lookup() -> None:
+    from comfyui_propainter_nodes_tpu.models import raft as raft_mod
+    from comfyui_propainter_nodes_tpu.ops import deform_conv as dc
+
+    rng = np.random.default_rng(1)
+    # RAFT 1/8-res at 640x360: fmap [N, 45, 80, 256]
+    n, h, w, c = 4, 45, 80, 256
+    f1 = jnp.asarray(
+        (rng.standard_normal((n, h, w, c)) * 0.5).astype(np.float32)
+    )
+    f2 = jnp.asarray(
+        (rng.standard_normal((n, h, w, c)) * 0.5).astype(np.float32)
+    )
+    coords = jnp.asarray(
+        np.stack(
+            [
+                rng.uniform(-2, w + 2, (n, h, w)),  # x (allow OOB fringes)
+                rng.uniform(-2, h + 2, (n, h, w)),
+            ],
+            axis=-1,
+        ).astype(np.float32)
+    )
+
+    old = dc._USE_PALLAS
+    old_env = os.environ.get("PROPAINTER_TPU_CORR_KERNEL")
+    try:
+        # reference: dynamic-slice fallback (padded pyramid)
+        dc._USE_PALLAS = False
+        pyr_pad = jax.jit(
+            lambda a, b: raft_mod.build_corr_pyramid(a, b, pad=True)
+        )(f1, f2)
+        ref = jax.jit(lambda py, co: raft_mod.lookup_corr(py, co, padded=True))(
+            pyr_pad, coords
+        )
+
+        dc._USE_PALLAS = True
+        os.environ["PROPAINTER_TPU_CORR_KERNEL"] = "einsum"
+        pyr = jax.jit(
+            lambda a, b: raft_mod.build_corr_pyramid(a, b, pad=False)
+        )(f1, f2)
+        out_einsum = jax.jit(
+            lambda py, co: raft_mod.lookup_corr(py, co, padded=False)
+        )(pyr, coords)
+        record("corr_lookup_einsum_4x45x80", out_einsum, ref, 2e-3, 2e-3)
+
+        os.environ["PROPAINTER_TPU_CORR_KERNEL"] = "pallas"
+        out_pallas = jax.jit(
+            lambda py, co: raft_mod.lookup_corr(py, co, padded=True)
+        )(pyr_pad, coords)
+        record("corr_lookup_pallas_dma_4x45x80", out_pallas, ref, 1e-4, 1e-4)
+    finally:
+        dc._USE_PALLAS = old
+        if old_env is None:
+            os.environ.pop("PROPAINTER_TPU_CORR_KERNEL", None)
+        else:
+            os.environ["PROPAINTER_TPU_CORR_KERNEL"] = old_env
+
+
+def check_window_attention() -> None:
+    from comfyui_propainter_nodes_tpu.ops import attention as att
+    from comfyui_propainter_nodes_tpu.ops import deform_conv as dc
+
+    rng = np.random.default_rng(2)
+    # transformer token grid at 640x360: h=90/3=30, w=160/3=54 (after
+    # soft-split stride 3), C=512, T = 10 local + 8 refs
+    b, t, h, w, c, n_head = 1, 18, 30, 54, 512, 4
+    l_t = 10
+    p = {}
+    for name in ("query", "key", "value", "proj"):
+        p[f"a.{name}.weight"] = jnp.asarray(
+            (rng.standard_normal((c, c)) * 0.03).astype(np.float32)
+        )
+        p[f"a.{name}.bias"] = jnp.asarray(
+            (rng.standard_normal((c,)) * 0.03).astype(np.float32)
+        )
+    p["a.pool_layer.weight"] = jnp.asarray(
+        (rng.standard_normal((4, 4, 1, c)) * 0.05).astype(np.float32)
+    )
+    p["a.pool_layer.bias"] = jnp.asarray(
+        (rng.standard_normal((c,)) * 0.05).astype(np.float32)
+    )
+    x = jnp.asarray((rng.standard_normal((b, t, h, w, c))).astype(np.float32))
+    mask = (
+        jnp.zeros((b, l_t, h, w, 1)).at[:, :, 8:16, 10:30].set(1.0)
+    )
+    t_ind = np.arange(0, t, 2)
+    tv = jnp.asarray([True] * (t - 2) + [False, False])
+
+    old = dc._USE_PALLAS
+    try:
+        dc._USE_PALLAS = False
+        ref = jax.jit(
+            lambda pp, xx, mm: att.sparse_window_attention(
+                pp, "a", xx, mm, t_ind, n_head=n_head, t_valid_mask=tv
+            )
+        )(p, x, mask)
+        dc._USE_PALLAS = True
+        out = jax.jit(
+            lambda pp, xx, mm: att.sparse_window_attention(
+                pp, "a", xx, mm, t_ind, n_head=n_head, t_valid_mask=tv
+            )
+        )(p, x, mask)
+    finally:
+        dc._USE_PALLAS = old
+    record("window_attention_fp32_18fx30x54x512", out, ref, 5e-3, 5e-3)
+
+
+def main() -> int:
+    print(
+        json.dumps(
+            {
+                "device": str(jax.devices()[0]),
+                "backend": jax.default_backend(),
+                "n_devices": len(jax.devices()),
+            }
+        ),
+        flush=True,
+    )
+    check_deform_conv()
+    check_corr_lookup()
+    check_window_attention()
+    failed = [r for r in RESULTS if not r["pass"]]
+    print(
+        json.dumps(
+            {
+                "status": "fail" if failed else "pass",
+                "n_checks": len(RESULTS),
+                "n_failed": len(failed),
+            }
+        )
+    )
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

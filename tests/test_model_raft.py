@@ -163,13 +163,12 @@ def test_raft_scan_matches_unrolled_iterations(torch_raft, jax_params):
     inp = jax.nn.relu(cnet[..., jraft.HDIM :])
     coords0 = jraft.coords_grid(n, h // 8, w // 8)
     coords1 = coords0
-    up_mask = None
     for _ in range(iters):
         corr = jraft.lookup_corr(pyramid, coords1)
         flow = coords1 - coords0
-        net, up_mask, delta = jraft._update_block(p, net, inp, corr, flow)
+        net, delta = jraft._update_block(p, net, inp, corr, flow)
         coords1 = coords1 + delta
-    ref = jraft.convex_upsample(coords1 - coords0, up_mask)
+    ref = jraft.convex_upsample(coords1 - coords0, jraft._upsample_mask(p, net))
     np.testing.assert_allclose(np.asarray(full), np.asarray(ref), atol=1e-5)
 
 
