@@ -374,6 +374,51 @@ if "imgprop" in SECTIONS:
 
     timeit("imgprop: one step's two warps", one_step, fr, mk, fl, fl)
 
+if "featprop" in SECTIONS:
+    from comfyui_propainter_nodes_tpu.models import propainter as pp
+    from comfyui_propainter_nodes_tpu.utils.weights import random_params
+
+    ip = {
+        k: jnp.asarray(v, bf16)
+        for k, v in random_params("inpaint_generator").items()
+    }
+    feat = jnp.asarray(
+        rng.standard_normal((G, LT, 90, 160, 128)).astype(f32) * 0.1, bf16
+    )
+    pmask = jnp.zeros((G, LT, 90, 160, 2), bf16).at[:, :, 20:40, 30:60].set(1.0)
+    dsfl = jnp.asarray(
+        (rng.standard_normal((G, LT - 1, 90, 160, 2)) * 2).astype(f32), bf16
+    )
+    timeit(
+        "featprop: bidirectional_propagation_feature [5,11,90,160,128]",
+        lambda a: pp.bidirectional_propagation_feature(ip, a, dsfl, dsfl, pmask),
+        feat,
+        reps=2,
+    )
+
+    cond = jnp.asarray(
+        rng.standard_normal((G, 90, 160, 2 * 128 + 5)).astype(f32) * 0.1, bf16
+    )
+    fl1 = jnp.asarray(
+        (rng.standard_normal((G, 90, 160, 2)) * 2).astype(f32), bf16
+    )
+    timeit(
+        "featprop: one deformable_alignment [5,90,160,128]",
+        lambda a: pp._deformable_alignment(
+            ip, "feat_prop_module.deform_align.backward_1", a, cond, fl1
+        ),
+        feat[:, 0],
+    )
+
+    enc_in = jnp.asarray(
+        rng.uniform(-1, 1, (G * T, H, W, 5)).astype(f32), bf16
+    )
+    timeit("featprop: encoder [65,360,640,5]", lambda a: pp.encoder(ip, a), enc_in, reps=2)
+    dec_in = jnp.asarray(
+        rng.standard_normal((G * LT, 90, 160, 128)).astype(f32) * 0.1, bf16
+    )
+    timeit("featprop: decoder [55,90,160,128]", lambda a: pp.decoder(ip, a), dec_in, reps=2)
+
 if "corrlk" in SECTIONS:
     # level-0 lookup alternatives at pipeline shape: M=2*23*3600 pixels?
     # use per-chunk M = 24*3600 (13-frame chunk, both directions)
