@@ -330,69 +330,84 @@ def img_propagation(masked_frames, flows_f, flows_b, masks, interpolation="neare
     )
 
 
-def inpaint_generator_forward(
+def encode_features(
     p: Params,
     masked_frames: jnp.ndarray,
-    flows_f: jnp.ndarray,
-    flows_b: jnp.ndarray,
     masks_in: jnp.ndarray,
     masks_updated: jnp.ndarray,
-    num_local_frames: int,
-    l_t_valid=None,
-    ref_valid=None,
 ) -> jnp.ndarray:
-    """InpaintGenerator.forward (model/propainter.py:358-453), inference.
+    """Per-frame encoder features (model/propainter.py:376-385).
 
-    masked_frames: [B, T, H, W, 3] in [-1, 1]
-    flows_f/b:     [B, l_t-1, H, W, 2] completed flows
-    masks_in:      [B, T, H, W, 1] original dilated masks
-    masks_updated: [B, T, H, W, 1] masks after image propagation
-    l_t_valid / ref_valid (traced scalars, per-clip [B] vectors, or None):
-    real counts when the
-    local/reference frame blocks are padded at their ends. Callers must
-    zero the masks of padded slots; padded frames' outputs are garbage
-    but all real-frame outputs are exact (scan resets + attention key
-    masking).
-    Returns predicted local frames [B, l_t, H, W, 3] in [-1, 1].
-    """
-    l_t = num_local_frames
-    b, t, ori_h, ori_w, _ = masked_frames.shape
-    h, w = ori_h // 4, ori_w // 4
-
-    # sharding hook: under parallel.spatial.spatial_sharding the H axis
-    # stays sharded through the forward (no-ops otherwise)
+    masked_frames [N, H, W, 3], masks [N, H, W, 1] -> [N, H/4, W/4, 128].
+    Pure per-frame: window batching can encode each unique frame ONCE and
+    gather windows from the features (the reference re-encodes every
+    window's frames — ~2.7x redundant at default window overlap)."""
     from ..parallel.spatial import constrain_h
 
     enc_in = jnp.concatenate([masked_frames, masks_in, masks_updated], axis=-1)
-    enc_feat = encoder(p, constrain_h(enc_in.reshape(b * t, ori_h, ori_w, 5), 1))
-    enc_feat = constrain_h(enc_feat.reshape(b, t, h, w, CHANNEL), 2)
-    local_feat, ref_feat = enc_feat[:, :l_t], enc_feat[:, l_t:]
+    return constrain_h(encoder(p, constrain_h(enc_in, 1)), 1)
 
-    def ds_flow(f):
-        n_, t_, hh, ww, _ = f.shape
-        f2 = resize_bilinear(
-            f.reshape(n_ * t_, hh, ww, 2), h, w, align_corners=False
-        )
-        return f2.reshape(n_, t_, h, w, 2) / 4.0
 
-    ds_flows_f = ds_flow(flows_f)
-    ds_flows_b = ds_flow(flows_b)
+def downsample_flow(flows: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """[N, T, H, W, 2] completed flow -> 1/4-res (model/propainter.py:391-408)."""
+    n_, t_, hh, ww, _ = flows.shape
+    f2 = resize_bilinear(
+        flows.reshape(n_ * t_, hh, ww, 2), h, w, align_corners=False
+    )
+    return f2.reshape(n_, t_, h, w, 2) / 4.0
 
-    def ds_mask(m):
-        n_, t_, hh, ww, _ = m.shape
-        m2 = resize_nearest(m.reshape(n_ * t_, hh, ww, 1), h, w)
-        return m2.reshape(n_, t_, h, w, 1)
 
-    ds_mask_in = ds_mask(masks_in)
-    ds_mask_in_local = ds_mask_in[:, :l_t]
-    ds_mask_updated_local = ds_mask(masks_updated[:, :l_t])
+def downsample_mask(m: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """[N, T, H, W, 1] mask -> 1/4-res nearest (model/propainter.py:409-417)."""
+    n_, t_, hh, ww, _ = m.shape
+    m2 = resize_nearest(m.reshape(n_ * t_, hh, ww, 1), h, w)
+    return m2.reshape(n_, t_, h, w, 1)
 
-    # attention sparsity map over local frames (model/propainter.py:425-428)
-    mask_pool_l = max_pool2d(
+
+def attention_pool_mask(ds_mask_in_local: jnp.ndarray) -> jnp.ndarray:
+    """Attention sparsity map over local frames (model/propainter.py:425-428).
+
+    ds_mask_in_local: [B, l_t, h, w, 1] -> [B, l_t, mh, mw, 1]."""
+    b, l_t, h, w, _ = ds_mask_in_local.shape
+    mp = max_pool2d(
         ds_mask_in_local.reshape(b * l_t, h, w, 1), (7, 7), (3, 3), (3, 3)
     )
-    mh, mw = mask_pool_l.shape[1], mask_pool_l.shape[2]
-    mask_pool_l = mask_pool_l.reshape(b, l_t, mh, mw, 1)
+    return mp.reshape(b, l_t, mp.shape[1], mp.shape[2], 1)
+
+
+def inpaint_generator_from_features(
+    p: Params,
+    enc_feat: jnp.ndarray,
+    ds_flows_f: jnp.ndarray,
+    ds_flows_b: jnp.ndarray,
+    ds_mask_in_local: jnp.ndarray,
+    ds_mask_updated_local: jnp.ndarray,
+    mask_pool_l: jnp.ndarray,
+    num_local_frames: int,
+    ori_hw: tuple[int, int],
+    l_t_valid=None,
+    ref_valid=None,
+) -> jnp.ndarray:
+    """InpaintGenerator.forward from precomputed per-frame features.
+
+    Everything after the encoder / input downsampling of the reference
+    forward (model/propainter.py:358-453): feature propagation over local
+    frames, soft-split, transformer stack, soft-comp, decoder.
+
+    enc_feat: [B, T, h, w, 128] from `encode_features`
+    ds_flows_f/b: [B, l_t-1, h, w, 2] from `downsample_flow`
+    ds_mask_*_local: [B, l_t, h, w, 1] from `downsample_mask` (padded
+        slots zeroed by the caller)
+    mask_pool_l: [B, l_t, mh, mw, 1] from `attention_pool_mask`
+    Returns predicted local frames [B, l_t, H, W, 3] in [-1, 1].
+    """
+    l_t = num_local_frames
+    b, t, h, w, _ = enc_feat.shape
+    ori_h, ori_w = ori_hw
+
+    from ..parallel.spatial import constrain_h
+
+    local_feat, ref_feat = enc_feat[:, :l_t], enc_feat[:, l_t:]
 
     prop_mask_in = jnp.concatenate(
         [ds_mask_in_local, ds_mask_updated_local], axis=-1
@@ -441,3 +456,66 @@ def inpaint_generator_forward(
     local = constrain_h(enc_feat[:, :l_t].reshape(b * l_t, h, w, CHANNEL), 1)
     out = decoder(p, local)
     return jnp.tanh(out).reshape(b, l_t, ori_h, ori_w, 3)
+
+
+def inpaint_generator_forward(
+    p: Params,
+    masked_frames: jnp.ndarray,
+    flows_f: jnp.ndarray,
+    flows_b: jnp.ndarray,
+    masks_in: jnp.ndarray,
+    masks_updated: jnp.ndarray,
+    num_local_frames: int,
+    l_t_valid=None,
+    ref_valid=None,
+) -> jnp.ndarray:
+    """InpaintGenerator.forward (model/propainter.py:358-453), inference.
+
+    masked_frames: [B, T, H, W, 3] in [-1, 1]
+    flows_f/b:     [B, l_t-1, H, W, 2] completed flows
+    masks_in:      [B, T, H, W, 1] original dilated masks
+    masks_updated: [B, T, H, W, 1] masks after image propagation
+    l_t_valid / ref_valid (traced scalars, per-clip [B] vectors, or None):
+    real counts when the local/reference frame blocks are padded at their
+    ends. Callers must zero the masks of padded slots; padded frames'
+    outputs are garbage but all real-frame outputs are exact (scan resets
+    + attention key masking).
+    Returns predicted local frames [B, l_t, H, W, 3] in [-1, 1].
+
+    Composition of `encode_features` + input downsampling +
+    `inpaint_generator_from_features` (the batched window path hoists the
+    per-frame parts and calls `..._from_features` directly).
+    """
+    l_t = num_local_frames
+    b, t, ori_h, ori_w, _ = masked_frames.shape
+    h, w = ori_h // 4, ori_w // 4
+
+    enc_feat = encode_features(
+        p,
+        masked_frames.reshape(b * t, ori_h, ori_w, 3),
+        masks_in.reshape(b * t, ori_h, ori_w, 1),
+        masks_updated.reshape(b * t, ori_h, ori_w, 1),
+    )
+    from ..parallel.spatial import constrain_h
+
+    enc_feat = constrain_h(enc_feat.reshape(b, t, h, w, CHANNEL), 2)
+
+    ds_flows_f = downsample_flow(flows_f, h, w)
+    ds_flows_b = downsample_flow(flows_b, h, w)
+    ds_mask_in_local = downsample_mask(masks_in[:, :l_t], h, w)
+    ds_mask_updated_local = downsample_mask(masks_updated[:, :l_t], h, w)
+    mask_pool_l = attention_pool_mask(ds_mask_in_local)
+
+    return inpaint_generator_from_features(
+        p,
+        enc_feat,
+        ds_flows_f,
+        ds_flows_b,
+        ds_mask_in_local,
+        ds_mask_updated_local,
+        mask_pool_l,
+        l_t,
+        (ori_h, ori_w),
+        l_t_valid=l_t_valid,
+        ref_valid=ref_valid,
+    )

@@ -177,7 +177,7 @@ class Pipeline:
     ):
         self.config = config
         self.mesh = mesh  # optional jax Mesh: shards window batches (dp)
-        rdtype = jnp.bfloat16 if config.raft_bf16 else jnp.float32
+        rdtype = jnp.bfloat16 if config.raft_half else jnp.float32
         self.raft_params = jax.tree.map(
             lambda a: jnp.asarray(a, dtype=rdtype), raft_params
         )
@@ -282,7 +282,7 @@ class Pipeline:
         # footprint (fp32 all-pairs + pyramid ~= 1.36x level 0).
         n_prob = 2 * (t - 1)
         h8w8 = (hw[0] // 8) * (hw[1] // 8)
-        vol_bytes = n_prob * h8w8 * h8w8 * 4 * 1.36
+        vol_bytes = n_prob * h8w8 * h8w8 * (2 if cfg.raft_half else 4) * 1.36
         allpairs = len(bounds) > 1 and vol_bytes <= float(
             os.environ.get("PROPAINTER_TPU_RAFT_ALLPAIRS_BYTES", 4.5e9)
         )
@@ -682,6 +682,50 @@ class Pipeline:
             lts[wi] = l_t
             refs[wi] = n_ref
 
+        def predict_group_hoisted(
+            prm, enc_all, ds_ff_all, ds_fb_all, ds_md_all, ds_um_all,
+            pool_all, md_p, orig_p, grp,
+        ):
+            """Single-device window prediction from HOISTED per-frame
+            features: every unique frame is encoded/downsampled ONCE
+            outside this call (the reference re-encodes each window's
+            frames — propainter_inference.py:275 + model/propainter.py:
+            376-385 — ~2.7x redundant at default window overlap); windows
+            gather from the feature tensors. Numerically identical: the
+            encoder and all downsampling are per-frame pure."""
+            gsel = jnp.asarray(sels[grp])  # [G, T_sel]
+            gvalid = jnp.asarray(valids[grp], dt)[:, :, None, None, None]
+            gvl = gvalid[:, :l_t_max]
+            gn0 = jnp.asarray(starts[grp])
+            enc_sel = enc_all[gsel]
+            ds_mi_sel = ds_md_all[gsel[:, :l_t_max]] * gvl
+            ds_mu_sel = ds_um_all[gsel[:, :l_t_max]] * gvl
+            pool_sel = pool_all[gsel[:, :l_t_max]] * gvl
+            md_local = md_p[0, gsel[:, :l_t_max]] * gvl
+            ds_ff = jax.vmap(
+                lambda s: jax.lax.dynamic_slice_in_dim(
+                    ds_ff_all, s, l_t_max - 1, 0
+                )
+            )(gn0)
+            ds_fb = jax.vmap(
+                lambda s: jax.lax.dynamic_slice_in_dim(
+                    ds_fb_all, s, l_t_max - 1, 0
+                )
+            )(gn0)
+            orig_slices = jax.vmap(
+                lambda s: jax.lax.dynamic_slice_in_dim(orig_p, s, l_t_max, 0)
+            )(gn0)
+            pred = pp.inpaint_generator_from_features(
+                prm, enc_sel, ds_ff, ds_fb, ds_mi_sel, ds_mu_sel, pool_sel,
+                l_t_max, orig_p.shape[1:3],
+                l_t_valid=jnp.asarray(lts[grp]),
+                ref_valid=jnp.asarray(refs[grp]),
+            )
+            pred = pred.astype(jnp.float32)
+            pred_byte = jnp.floor((pred + 1.0) / 2.0 * 255.0)
+            binary = md_local.astype(jnp.float32)
+            return jnp.floor(pred_byte * binary + orig_slices * (1.0 - binary))
+
         def predict_group(prm, uf_p, um_p, md_p, ff_p, fb_p, orig_p, grp):
             """Batched window prediction for a static group of window ids:
             model forward + uint8 composite (propainter_inference.py:283-293).
@@ -819,12 +863,41 @@ class Pipeline:
                 ((0, l_t_max), (0, 0), (0, 0), (0, 0)),
             )
 
+            hoist = mesh is None
+            if hoist:
+                # per-frame pure work ONCE per unique frame (single-device;
+                # the sharded paths keep per-window encoding so their
+                # tested placement is untouched)
+                h4 = updated_frames.shape[2] // 4
+                w4 = updated_frames.shape[3] // 4
+                enc_all = pp.encode_features(
+                    prm, uf_p[0, :t], md_p[0, :t], um_p[0, :t]
+                )
+                ds_ff_all = pp.downsample_flow(ff_p, h4, w4)[0]
+                ds_fb_all = pp.downsample_flow(fb_p, h4, w4)[0]
+                ds_md_all = pp.downsample_mask(md_p, h4, w4)[0]
+                ds_um_all = pp.downsample_mask(um_p, h4, w4)[0]
+                pool_all = pp.attention_pool_mask(ds_md_all[None])[0]
+                # gsel pad slots index frame 0; pad the T axis for the
+                # dynamic flow slices only (gathers stay in-range)
+                args_h = (
+                    enc_all, ds_ff_all, ds_fb_all, ds_md_all, ds_um_all,
+                    pool_all,
+                )
+
             imgs = []
             for g0 in range(0, n_windows, group_size):
                 grp = list(range(g0, min(n_windows, g0 + group_size)))
                 done = grp[-1] + 1
                 grp = grp + [grp[-1]] * (group_size - len(grp))
-                out = predict_group(prm, uf_p, um_p, md_p, ff_p, fb_p, orig_p, grp)
+                if hoist:
+                    out = predict_group_hoisted(
+                        prm, *args_h, md_p, orig_p, grp
+                    )
+                else:
+                    out = predict_group(
+                        prm, uf_p, um_p, md_p, ff_p, fb_p, orig_p, grp
+                    )
                 if progress_on:
                     # runtime tick: fires as the device finishes this
                     # group (the scalar arg makes it data-dependent on
