@@ -57,14 +57,23 @@ class PipelineConfig:
     raft_iter: int = 20
     fp16: str = "enable"  # -> bfloat16 on TPU
     process_size: tuple[int, int] = (640, 360)  # (W, H)
-    # The reference pins RAFT to fp32 even under fp16
-    # (utils/model_utils.py:55-58); opt in to bf16 RAFT compute (2x MXU
-    # throughput on the update loop; flow state stays fp32).
-    raft_bf16: bool = False
+    # RAFT compute dtype. The reference pins RAFT to fp32 even under fp16
+    # because CUDA fp16 overflows on the correlation volume
+    # (utils/model_utils.py:55-58); bf16 keeps fp32's exponent range, so
+    # on TPU the fp16="enable" knob extends to RAFT (params, convs AND
+    # the HBM-bandwidth-bound correlation volume — the volume read is the
+    # single largest data movement in the pipeline). Flow state (coords),
+    # convex upsampling and the final flows stay fp32 either way.
+    # None = follow the fp16 knob; True/False pins it explicitly.
+    raft_bf16: bool | None = None
 
     @property
     def use_bf16(self) -> bool:
         return self.fp16 == "enable"
+
+    @property
+    def raft_half(self) -> bool:
+        return self.use_bf16 if self.raft_bf16 is None else self.raft_bf16
 
     @property
     def neighbor_stride(self) -> int:

@@ -31,9 +31,9 @@ from typing import Mapping
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops import (
-    avg_pool2d,
     batch_norm_eval,
     coords_grid,
     instance_norm,
@@ -96,6 +96,30 @@ _WIN = 2 * CORR_RADIUS + 2  # 10
 _PAD = 2 * CORR_RADIUS + 1  # 9
 
 
+def _avg_pool_map(m: jnp.ndarray) -> jnp.ndarray:
+    """2x2/2 average pool on [M, H, W] maps (odd tail rows/cols dropped,
+    like torch F.avg_pool2d).
+
+    The maps have no channel axis; `avg_pool2d` would need a size-1 lane
+    dim (1/128 lane utilization over the GB-scale level-0 volume, ~100x
+    off bandwidth). Here: H pairs via two sublane-strided slices + add,
+    W pairs via ONE dense [W, W/2] matmul over the flattened row-major
+    [M*H/2, W] view — both full-lane operations.
+    """
+    mm, h, w = m.shape
+    h2, w2 = h // 2, w // 2
+    msum = m[:, 0 : 2 * h2 : 2, :] + m[:, 1 : 2 * h2 : 2, :]  # [M, H2, W]
+    pw = np.zeros((w, w2), np.float32)
+    pw[2 * np.arange(w2), np.arange(w2)] = 0.25
+    pw[2 * np.arange(w2) + 1, np.arange(w2)] = 0.25
+    out = jnp.matmul(
+        msum.reshape(mm * h2, w),
+        jnp.asarray(pw, m.dtype),
+        preferred_element_type=m.dtype,
+    )
+    return out.reshape(mm, h2, w2)
+
+
 def _pool_pyramid(corr: jnp.ndarray, pad: bool):
     """corr: [M, H, W, 1] per-source-pixel maps -> 4-level avg pyramid.
 
@@ -105,25 +129,32 @@ def _pool_pyramid(corr: jnp.ndarray, pad: bool):
     with 1.7x less level-0 HBM.
     """
     pyramid = []
+    m = corr[..., 0]
     for lvl in range(CORR_LEVELS):
-        m = corr[..., 0]
         if pad:
-            m = jnp.pad(m, ((0, 0), (_PAD, _PAD), (_PAD, _PAD)))
-        pyramid.append(m)
+            pyramid.append(jnp.pad(m, ((0, 0), (_PAD, _PAD), (_PAD, _PAD))))
+        else:
+            pyramid.append(m)
         if lvl < CORR_LEVELS - 1:
-            corr = avg_pool2d(corr, (2, 2), (2, 2))
+            m = _avg_pool_map(m)
     return pyramid
 
 
 def _all_pairs_corr(fmap1: jnp.ndarray, fmap2: jnp.ndarray) -> jnp.ndarray:
     """[N, H, W, C] x2 -> [N, H*W, H*W] scaled all-pairs correlation
-    (corr.py:54-60). Stays fp32 even under bf16 compute."""
+    (corr.py:54-60). Accumulated in fp32, STORED in the compute dtype:
+    the volume is the pipeline's single largest tensor and the per-iter
+    window lookup re-reads all of it, so under bf16 compute a bf16
+    volume halves the lookup's HBM traffic (the lookup is bandwidth
+    bound). Under fp32 params the volume stays fp32 like the
+    reference."""
     n, h, w, c = fmap1.shape
     f1 = fmap1.reshape(n, h * w, c)
     f2 = fmap2.reshape(n, h * w, c)
-    return jnp.einsum(
+    corr = jnp.einsum(
         "npc,nqc->npq", f1, f2, preferred_element_type=jnp.float32
     ) / jnp.sqrt(jnp.asarray(c, jnp.float32))
+    return corr.astype(fmap1.dtype)
 
 
 def build_corr_pyramid(fmap1: jnp.ndarray, fmap2: jnp.ndarray, pad: bool = True):
@@ -160,6 +191,13 @@ def _window_lookup_einsum(corr_pad, sy, sx, fy, fx, win: int = 9):
 
     corr_pad: [M, Hp, Wp] zero-padded maps; sy/sx [M] window starts;
     fy/fx [M] fractional offsets. Returns [M, win, win] (dy, dx) taps.
+
+    Lowering note: the contractions are EXPLICIT broadcast-multiply-sum
+    (VPU loop fusions), NOT einsum/dot. As dots they become M-batched
+    [9, H]x[H, W] matmuls, and TPU batched matmuls pay a fixed per-batch-
+    element latency that dwarfs the math at M ~ 1e5 — measured ~8 ms per
+    LEVEL regardless of level size or dtype (~30 ms/RAFT-iter). The fused
+    elementwise form streams at memory speed (~2 ms for all levels).
     """
     m, hp, wp = corr_pad.shape
     taps = jnp.arange(win, dtype=jnp.int32)
@@ -173,8 +211,15 @@ def _window_lookup_einsum(corr_pad, sy, sx, fy, fx, win: int = 9):
     cw = jnp.where(
         ix[None, None, :] == pos_x, (1.0 - fx)[:, None, None], 0.0
     ) + jnp.where(ix[None, None, :] == pos_x + 1, fx[:, None, None], 0.0)
-    tmp = jnp.einsum("piy,pyx->pix", rw.astype(corr_pad.dtype), corr_pad)
-    return jnp.einsum("pix,pjx->pij", tmp, cw.astype(tmp.dtype))
+    # tmp[p, i, x] = sum_y rw[p, i, y] * corr[p, y, x]
+    tmp = jnp.sum(
+        rw.astype(corr_pad.dtype)[:, :, :, None] * corr_pad[:, None, :, :],
+        axis=2,
+    )
+    # out[p, i, j] = sum_x tmp[p, i, x] * cw[p, j, x]
+    return jnp.sum(
+        tmp[:, :, None, :] * cw.astype(tmp.dtype)[:, None, :, :], axis=3
+    )
 
 
 def _use_unpadded_einsum() -> bool:

@@ -149,7 +149,7 @@ def get_pipeline(config: PipelineConfig, allow_random_weights: bool = False) -> 
     a new config costs nothing beyond compiles its static keys demand."""
     key = (config, allow_random_weights)
     if key not in _PIPELINE_CACHE:
-        rdtype = jnp.bfloat16 if config.raft_bf16 else jnp.float32
+        rdtype = jnp.bfloat16 if config.raft_half else jnp.float32
         cdtype = jnp.bfloat16 if config.use_bf16 else jnp.float32
         _PIPELINE_CACHE[key] = Pipeline(
             _cached_params("raft", rdtype, allow_random_weights),

@@ -42,15 +42,133 @@ def deform_conv2d(
     bias: jnp.ndarray | None = None,
     padding: int = 1,
 ) -> jnp.ndarray:
-    """Dispatch: Pallas MXU kernel on TPU, XLA gather elsewhere.
+    """Dispatch: Pallas tent-contraction kernel on TPU
+    (PROPAINTER_TPU_DEFORM=quad selects the gather formulation — measured
+    13x SLOWER on v5e, kept as an instrumented alternative), plain XLA
+    gather elsewhere.
 
     See deform_conv2d_xla below for shapes/semantics.
     """
     if _pallas_enabled():
+        if os.environ.get("PROPAINTER_TPU_DEFORM", "pallas") == "quad":
+            return deform_conv2d_quad(x, offset, mask, weight, bias, padding)
         from .pallas.deform_conv import deform_conv2d_pallas
 
-        return deform_conv2d_pallas(x, offset, mask, weight, bias, padding=padding)
+        return deform_conv2d_pallas(
+            x, offset, mask, weight, bias, padding=padding
+        )
     return deform_conv2d_xla(x, offset, mask, weight, bias, padding)
+
+
+def deform_conv2d_quad(
+    x: jnp.ndarray,
+    offset: jnp.ndarray,
+    mask: jnp.ndarray,
+    weight: jnp.ndarray,
+    bias: jnp.ndarray | None = None,
+    padding: int = 1,
+) -> jnp.ndarray:
+    """deform_conv2d_xla's semantics via ONE flat row-gather per sample.
+
+    TPUs have no vector gather, but XLA's `take_along_axis` on a flat
+    [B, L, C] operand with a [B, P, 1] index lowers to an efficient
+    row-DMA stream (the same pattern ops/warp.py uses). Two tricks make
+    the bilinear deformable sample fit that exact pattern:
+
+      * the four bilinear corners of a sample are QUAD-PACKED into one
+        row — xq[y, x] = (xp[y, x], xp[y, x+1], xp[y+1, x], xp[y+1, x+1])
+        over a zero-padded grid — so each (pixel, tap, group) needs ONE
+        gathered row instead of four (and no per-corner validity fixup:
+        out-of-range corners read exact zeros from the pad border);
+      * the (batch, group) axes flatten into the gather batch so the
+        index is a plain [B, P, 1] along one axis (a multi-axis index
+        forces XLA's slow general-gather path).
+
+    MEASURED RESULT (v5e): 13x SLOWER than the tent-contraction Pallas
+    kernel at the featprop alignment shape (189 ms vs 14 ms at
+    [5,90,160,128]x16 groups) — XLA's take_along_axis does NOT hit a
+    vectorized path at this gather count (10.4M rows/call); the row-DMA
+    stream the warp enjoys doesn't materialize here. Kept (with tests)
+    as the measured alternative and for gather-capable backends; select
+    with PROPAINTER_TPU_DEFORM=quad. Exact same tap arithmetic as
+    deform_conv2d_xla.
+    """
+    n, h, w, cin = x.shape
+    kh, kw, _, cout = weight.shape
+    k = kh * kw
+    g = offset.shape[3]
+    cg = cin // g
+    dt = x.dtype
+
+    gy, gx = jnp.meshgrid(
+        jnp.arange(h, dtype=jnp.float32),
+        jnp.arange(w, dtype=jnp.float32),
+        indexing="ij",
+    )
+    ky, kx = jnp.meshgrid(
+        jnp.arange(kh, dtype=jnp.float32) - padding,
+        jnp.arange(kw, dtype=jnp.float32) - padding,
+        indexing="ij",
+    )
+    base_y = gy[:, :, None] + ky.reshape(-1)  # [H, W, K]
+    base_x = gx[:, :, None] + kx.reshape(-1)
+    sy = base_y[None, :, :, None, :] + offset[..., 0].astype(jnp.float32)
+    sx = base_x[None, :, :, None, :] + offset[..., 1].astype(jnp.float32)
+
+    # corner base (floor), clamped into the 1-px zero-pad border: any
+    # corner outside [0, H) x [0, W) lands on an exact-zero padded row
+    y0 = jnp.floor(sy)
+    x0 = jnp.floor(sx)
+    fy = (sy - y0).astype(dt)
+    fx = (sx - x0).astype(dt)
+    iy = jnp.clip(y0, -2.0, float(h)).astype(jnp.int32) + 2  # [0, H+2]
+    ix = jnp.clip(x0, -2.0, float(w)).astype(jnp.int32) + 2
+    # clamping kills the tent weight only for fully-OOB taps, where both
+    # corners of that axis are outside; fy/fx still weight the quad, but
+    # every corner value is zero, so the sample is exactly zero.
+
+    # quad-packed operand: rows (y, x) of xq hold corners (y, x),
+    # (y, x+1), (y+1, x), (y+1, x+1) of the zero-padded grid. A 2-px
+    # zero border on every side gives each clamped corner base
+    # (iy in [0, H+2]) a real xq row whose quad reads exact zeros for
+    # every out-of-range corner — including bases clamped from far away,
+    # where BOTH corners must be zero.
+    xp = jnp.pad(x, ((0, 0), (2, 2), (2, 2), (0, 0)))  # [N, H+4, W+4, C]
+    hq, wq = h + 3, w + 3
+    q00 = xp[:, :-1, :-1]
+    q01 = xp[:, :-1, 1:]
+    q10 = xp[:, 1:, :-1]
+    q11 = xp[:, 1:, 1:]
+    xq = jnp.stack([q00, q01, q10, q11], axis=3)  # [N, hq, wq, 4, C]
+    xq = xq.reshape(n, hq * wq, 4, g, cg)
+    xq = jnp.moveaxis(xq, 3, 1).reshape(n * g, hq * wq, 4 * cg)
+
+    # flat gather index, (batch*group)-major like the operand
+    idx = iy * wq + ix  # [N, H, W, G, K]
+    idx = idx.transpose(0, 3, 1, 2, 4).reshape(n * g, h * w * k)
+    rows = jnp.take_along_axis(xq, idx[:, :, None], axis=1)
+    rows = rows.reshape(n, g, h * w, k, 4, cg)
+
+    # bilinear weights per corner + modulation
+    fy = fy.transpose(0, 3, 1, 2, 4).reshape(n, g, h * w, k)
+    fx = fx.transpose(0, 3, 1, 2, 4).reshape(n, g, h * w, k)
+    w00 = (1 - fy) * (1 - fx)
+    w01 = (1 - fy) * fx
+    w10 = fy * (1 - fx)
+    w11 = fy * fx
+    cw = jnp.stack([w00, w01, w10, w11], axis=-1)  # [N, G, HW, K, 4]
+    mk = mask.astype(dt).transpose(0, 3, 1, 2, 4).reshape(n, g, h * w, k)
+    cw = cw * mk[..., None]
+    samp = jnp.einsum("ngpkq,ngpkqc->ngpkc", cw, rows)  # [N, G, HW, K, Cg]
+
+    # -> [N*H*W, K*Cin] with (K outer, Cin inner) matching weight layout
+    samp = samp.transpose(0, 2, 3, 1, 4).reshape(n * h * w, k * cin)
+    wmat = weight.astype(dt).reshape(k, cin, cout).reshape(k * cin, cout)
+    out = jnp.matmul(samp, wmat, preferred_element_type=dt)
+    out = out.reshape(n, h, w, cout)
+    if bias is not None:
+        out = out + bias.astype(dt)
+    return out
 
 
 def deform_conv2d_xla(

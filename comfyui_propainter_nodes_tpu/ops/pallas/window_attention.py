@@ -47,6 +47,7 @@ NEG = -1e9
 
 def _kernel(
     occ_ref,      # [nW] int32 (scalar prefetch)
+    lo_ref,       # [nW] int32 (scalar prefetch): latest occupied id <= w
     q_ref,        # [1, 1, QT, ch]    QT = T*wsz
     wk_ref,       # [1, 1, QT, ch]    window keys, all T
     wv_ref,       # [1, 1, QT, ch]
@@ -115,25 +116,25 @@ def _kernel(
     @pl.when(jnp.logical_not(occupied))
     def _():
         # per-frame within-window attention: queries of frame t attend the
-        # wsz window keys of the SAME frame only
-        qb = q_ref[0, 0]
-        kb = wk_ref[0, 0]
-        vb = wv_ref[0, 0]
-        s_full = (
+        # wsz window keys of the SAME frame only. Batched per-frame
+        # [wsz, wsz] dots — 13x fewer FLOPs than the one [QT, QT] dot
+        # with a block-diagonal mask (t = QT/wsz frames).
+        t = qt // wsz
+        qb = q_ref[0, 0].reshape(t, wsz, ch)
+        kb = wk_ref[0, 0].reshape(t, wsz, ch)
+        vb = wv_ref[0, 0].reshape(t, wsz, ch)
+        s = (
             jax.lax.dot_general(
-                qb, kb, (((1,), (1,)), ((), ())),
+                qb, kb, (((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
             )
             * scale
-        )  # [QT, QT]
-        rows = jax.lax.broadcasted_iota(jnp.int32, (qt, qt), 0) // wsz
-        cols = jax.lax.broadcasted_iota(jnp.int32, (qt, qt), 1) // wsz
-        s_full = jnp.where(rows == cols, s_full, NEG)
-        p = jax.nn.softmax(s_full, axis=-1)
+        )  # [t, wsz, wsz]
+        p = jax.nn.softmax(s, axis=-1)
         out_ref[0, 0] = jax.lax.dot_general(
-            p.astype(vb.dtype), vb, (((1,), (0,)), ((), ())),
+            p.astype(vb.dtype), vb, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        ).astype(out_ref.dtype)
+        ).reshape(qt, ch).astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("n_win_per_b", "k_tile"))
@@ -172,22 +173,47 @@ def window_attention_pallas(
     per_win = lambda h, w, occ_: (w, h, 0, 0)
     shared = lambda h, w, occ_: (w // n_win_per_b, h, 0, 0)
     bias1d = lambda h, w, occ_: (w // n_win_per_b, 0, 0)
+    # rolled K/V are read ONLY by the occupied branch; for clean windows
+    # the occupancy-dependent index map pins their block index in place,
+    # so Pallas's same-index revisit caching skips the DMA entirely.
+    # Rolled traffic then scales with the number of OCCUPIED windows
+    # (typically a small fraction for localized object masks) instead of
+    # all of them.
+    last_occ = jnp.maximum(
+        jax.lax.associative_scan(
+            jnp.maximum, jnp.where(occ_i > 0, jnp.arange(n_win), -1)
+        ),
+        0,
+    ).astype(jnp.int32)  # [nW]: latest occupied window id <= w
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(n_head, n_win),
         in_specs=[
-            pl.BlockSpec((1, 1, qt, ch), per_win),
-            pl.BlockSpec((1, 1, qt, ch), per_win),
-            pl.BlockSpec((1, 1, qt, ch), per_win),
-            pl.BlockSpec((1, 1, rl, ch), per_win),
-            pl.BlockSpec((1, 1, rl, ch), per_win),
-            pl.BlockSpec((1, 1, pl_len, ch), shared),
-            pl.BlockSpec((1, 1, pl_len, ch), shared),
-            pl.BlockSpec((1, 1, qt), bias1d),
-            pl.BlockSpec((1, 1, rl), bias1d),
-            pl.BlockSpec((1, 1, pl_len), bias1d),
+            pl.BlockSpec((1, 1, qt, ch), lambda h, w, occ_, lo_: (w, h, 0, 0)),
+            pl.BlockSpec((1, 1, qt, ch), lambda h, w, occ_, lo_: (w, h, 0, 0)),
+            pl.BlockSpec((1, 1, qt, ch), lambda h, w, occ_, lo_: (w, h, 0, 0)),
+            pl.BlockSpec((1, 1, rl, ch), lambda h, w, occ_, lo_: (lo_[w], h, 0, 0)),
+            pl.BlockSpec((1, 1, rl, ch), lambda h, w, occ_, lo_: (lo_[w], h, 0, 0)),
+            pl.BlockSpec(
+                (1, 1, pl_len, ch),
+                lambda h, w, occ_, lo_: (w // n_win_per_b, h, 0, 0),
+            ),
+            pl.BlockSpec(
+                (1, 1, pl_len, ch),
+                lambda h, w, occ_, lo_: (w // n_win_per_b, h, 0, 0),
+            ),
+            pl.BlockSpec(
+                (1, 1, qt), lambda h, w, occ_, lo_: (w // n_win_per_b, 0, 0)
+            ),
+            pl.BlockSpec(
+                (1, 1, rl), lambda h, w, occ_, lo_: (w // n_win_per_b, 0, 0)
+            ),
+            pl.BlockSpec(
+                (1, 1, pl_len), lambda h, w, occ_, lo_: (w // n_win_per_b, 0, 0)
+            ),
         ],
-        out_specs=pl.BlockSpec((1, 1, qt, ch), per_win),
+        out_specs=pl.BlockSpec((1, 1, qt, ch), lambda h, w, occ_, lo_: (w, h, 0, 0)),
     )
     kk = qt + rl + pl_len
     out = pl.pallas_call(
@@ -200,7 +226,7 @@ def window_attention_pallas(
             transcendentals=n_win * n_head * qt * kk,
         ),
     )(
-        occ_i, q2, wk2, wv2, rolled_k, rolled_v, pool_k, pool_v,
+        occ_i, last_occ, q2, wk2, wv2, rolled_k, rolled_v, pool_k, pool_v,
         bias_w.astype(jnp.float32)[:, None],
         bias_r.astype(jnp.float32)[:, None],
         bias_p.astype(jnp.float32)[:, None],

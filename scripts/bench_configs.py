@@ -110,7 +110,7 @@ if "3" in CONFIGS:
     cfg = PipelineConfig(
         ref_stride=10, neighbor_length=10, subvideo_length=80,
         raft_iter=20, fp16="enable", process_size=(w, h),
-        raft_bf16=os.environ.get("BENCH_RAFT_BF16", "0") == "1",
+        raft_bf16=(None if os.environ.get("BENCH_RAFT_BF16") is None else os.environ["BENCH_RAFT_BF16"] == "1"),
     )
     params = [
         wz.get_params(m, allow_random=True)
@@ -149,7 +149,7 @@ if "4" in CONFIGS:
     cfg = PipelineConfig(
         ref_stride=10, neighbor_length=10, subvideo_length=80,
         raft_iter=20, fp16="enable", process_size=(w, h),
-        raft_bf16=os.environ.get("BENCH_RAFT_BF16", "0") == "1",
+        raft_bf16=(None if os.environ.get("BENCH_RAFT_BF16") is None else os.environ["BENCH_RAFT_BF16"] == "1"),
     )
     params = [
         wz.get_params(m, allow_random=True)
@@ -201,7 +201,7 @@ if "5" in CONFIGS:
     cfg = PipelineConfig(
         ref_stride=10, neighbor_length=10, subvideo_length=80,
         raft_iter=20, fp16="enable", process_size=(w, h),
-        raft_bf16=os.environ.get("BENCH_RAFT_BF16", "0") == "1",
+        raft_bf16=(None if os.environ.get("BENCH_RAFT_BF16") is None else os.environ["BENCH_RAFT_BF16"] == "1"),
     )
     params = [
         wz.get_params(m, allow_random=True)

@@ -214,10 +214,11 @@ def run_ours(frames_u8, masks_u8, size, cfg_kwargs, fp16, raft_bf16):
 
     node = ProPainterInpaint()
     orig_get = nodes_mod.get_pipeline
-    if raft_bf16:
-        nodes_mod.get_pipeline = lambda cfg, rnd=False: orig_get(
-            cfg.replace(raft_bf16=True), rnd
-        )
+    # pin the knob both ways so the legs stay distinct now that the
+    # config DEFAULT follows the fp16 knob (config.raft_half)
+    nodes_mod.get_pipeline = lambda cfg, rnd=False: orig_get(
+        cfg.replace(raft_bf16=bool(raft_bf16)), rnd
+    )
     try:
         out = node.propainter_inpainting(
             frames_u8,

@@ -89,3 +89,38 @@ def test_binarize():
     m = np.array([[0.05, 0.1, 0.11, 0.9]], dtype=np.float32)
     out = np.asarray(binarize(jnp.asarray(m)))
     np.testing.assert_array_equal(out, [[0, 0, 1, 1]])
+
+
+def test_deform_conv_quad_matches_xla():
+    """deform_conv2d_quad (the TPU default: one flat row-gather per
+    sample over a quad-packed zero-padded grid) == deform_conv2d_xla,
+    including boundary-straddling and far out-of-bounds offsets."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from comfyui_propainter_nodes_tpu.ops.deform_conv import (
+        deform_conv2d_quad,
+        deform_conv2d_xla,
+    )
+
+    rng = np.random.default_rng(3)
+    n, h, w, c, g, cout = 2, 18, 26, 32, 4, 24
+    x = jnp.asarray(rng.standard_normal((n, h, w, c)), jnp.float32)
+    for scale in (0.5, 5.0, 40.0):
+        off = jnp.asarray(
+            rng.standard_normal((n, h, w, g, 9, 2)) * scale, jnp.float32
+        )
+        off = off.at[0, 0, 0].set(100.0)
+        off = off.at[0, 1, 1].set(-100.0)
+        mask = jnp.asarray(rng.uniform(0, 1, (n, h, w, g, 9)), jnp.float32)
+        wgt = jnp.asarray(
+            rng.standard_normal((3, 3, c, cout)) * 0.1, jnp.float32
+        )
+        b = jnp.asarray(rng.standard_normal(cout), jnp.float32)
+        a = np.asarray(deform_conv2d_xla(x, off, mask, wgt, b))
+        q = np.asarray(deform_conv2d_quad(x, off, mask, wgt, b))
+        np.testing.assert_allclose(a, q, rtol=1e-5, atol=1e-4)
+        oi = jnp.round(off)
+        a = np.asarray(deform_conv2d_xla(x, oi, mask, wgt, b))
+        q = np.asarray(deform_conv2d_quad(x, oi, mask, wgt, b))
+        np.testing.assert_allclose(a, q, rtol=1e-5, atol=1e-4)

@@ -122,3 +122,45 @@ def test_avg_pool_matches_torch():
     xt = torch.from_numpy(x).permute(0, 3, 1, 2)
     ref = F.avg_pool2d(xt, 2, stride=2).permute(0, 2, 3, 1).numpy()
     np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+
+def test_phase_strided_conv_matches_plain():
+    """conv2d's space-to-depth strided path == XLA's strided conv for
+    every strided-conv geometry the models use (RAFT encoder 7x7/s2 +
+    3x3/s2 + 1x1/s2, inpaint encoder 3x3/s2, soft-split 7x7/s3)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from comfyui_propainter_nodes_tpu.ops.conv import _conv2d_phase_strided
+
+    rng = np.random.default_rng(7)
+
+    def plain(x, w, b, stride, padding):
+        ph, pw = padding
+        return (
+            jax.lax.conv_general_dilated(
+                x, w, window_strides=stride, padding=((ph, ph), (pw, pw)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            + b
+        )
+
+    cases = [
+        ((2, 36, 64, 5), (3, 3, 5, 16), (2, 2), (1, 1)),
+        ((2, 36, 64, 8), (7, 7, 8, 16), (2, 2), (3, 3)),
+        ((1, 37, 63, 4), (3, 3, 4, 8), (2, 2), (1, 1)),
+        ((1, 36, 64, 4), (7, 7, 4, 8), (3, 3), (3, 3)),
+        ((1, 35, 61, 4), (1, 1, 4, 8), (2, 2), (0, 0)),
+        ((1, 24, 24, 4), (5, 5, 4, 8), (4, 4), (2, 2)),
+    ]
+    for xs, ws, st, pd in cases:
+        x = jnp.asarray(rng.standard_normal(xs), jnp.float32)
+        w = jnp.asarray(rng.standard_normal(ws), jnp.float32)
+        b = jnp.asarray(rng.standard_normal(ws[-1]), jnp.float32)
+        a = plain(x, w, b, st, pd)
+        c = _conv2d_phase_strided(x, w, b, st, pd)
+        assert a.shape == c.shape
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(c), rtol=1e-5, atol=1e-4
+        )
