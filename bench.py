@@ -142,6 +142,13 @@ def main() -> None:
         profiling.log_summary(log)
         profiling.set_blocking(False)
 
+    try:  # compiled-program inventory (warmup audit)
+        from comfyui_propainter_nodes_tpu.pipeline.stages import JitCache
+
+        log(f"compiled programs (JitCache entries): {len(JitCache._store)}")
+    except Exception:
+        pass
+
     baseline_target = 30.0  # BASELINE.md north star frames/s/chip
     print(
         json.dumps(

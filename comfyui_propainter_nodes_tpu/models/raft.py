@@ -21,7 +21,9 @@ update,corr}.py) for XLA:
 
 Only the "large" configuration is implemented (small=False,
 mixed_precision=False — the settings the reference pins at
-flow_comp_raft.py:13-16). RAFT runs in fp32 like the reference.
+flow_comp_raft.py:13-16). Compute dtype follows the params
+(config.raft_half: bf16 under the node's fp16=enable, fp32 otherwise);
+flow state, convex upsampling and the returned flows are always fp32.
 """
 
 from __future__ import annotations

@@ -255,26 +255,27 @@ def sparse_window_attention(
     win_k = _window_partition(k, window_size, n_head)
     win_v = _window_partition(v, window_size, n_head)
 
-    # rolled K/V: 4 diagonal shifts, keep out-of-window survivors
+    # rolled K/V: 4 diagonal shifts, keep out-of-window survivors.
+    # `frames` restricts the build to a static frame subset: the fused
+    # kernel consumes rolled keys only at the t_ind frames, and the
+    # rolled tensors are the attention layer's largest intermediates
+    # (~3x the k field after the 148/45 survivor expansion), so building
+    # the frames that get dropped is pure HBM burn.
     eh, ew = (wh + 1) // 2, (ww + 1) // 2
     shifts = [(-eh, -ew), (-eh, ew), (eh, -ew), (eh, ew)]
-    rolled_k = jnp.concatenate(
-        [
-            _window_partition(jnp.roll(k, s, axis=(2, 3)), window_size, n_head)
-            for s in shifts
-        ],
-        axis=4,
-    )
-    rolled_v = jnp.concatenate(
-        [
-            _window_partition(jnp.roll(v, s, axis=(2, 3)), window_size, n_head)
-            for s in shifts
-        ],
-        axis=4,
-    )
     idx = jnp.asarray(_valid_rolled_indices(window_size))
-    rolled_k = rolled_k[:, :, :, :, idx]
-    rolled_v = rolled_v[:, :, :, :, idx]
+
+    def build_rolled(a, frames=None):
+        if frames is not None:
+            a = a[:, frames]
+        rolled = jnp.concatenate(
+            [
+                _window_partition(jnp.roll(a, s, axis=(2, 3)), window_size, n_head)
+                for s in shifts
+            ],
+            axis=4,
+        )
+        return rolled[:, :, :, :, idx]
 
     # pooled global tokens: depthwise avg conv (weights from checkpoint)
     bt = b * t
@@ -301,12 +302,13 @@ def sparse_window_attention(
     if axis_name is not None:
         ag = lambda a, ax: jax.lax.all_gather(a, axis_name, axis=ax, tiled=True)
         win_k_g, win_v_g = ag(win_k, 3), ag(win_v, 3)
-        rolled_k_g, rolled_v_g = ag(rolled_k, 3), ag(rolled_v, 3)
+        rolled_k_g = ag(build_rolled(k), 3)
+        rolled_v_g = ag(build_rolled(v), 3)
         pool_k_g, pool_v_g = ag(pool_k_h, 2), ag(pool_v_h, 2)
         t_glob = win_k_g.shape[3]
     else:
         win_k_g, win_v_g = win_k, win_v
-        rolled_k_g, rolled_v_g = rolled_k, rolled_v
+        rolled_k_g = rolled_v_g = None  # built on demand per branch
         pool_k_g, pool_v_g = pool_k_h, pool_v_h
         t_glob = t
 
@@ -341,9 +343,9 @@ def sparse_window_attention(
         # pooled keys are pre-selected
         from .pallas.window_attention import window_attention_pallas
 
-        n_rolled = rolled_k.shape[4]
-        rk = rolled_k[:, :, :, ti] if ti is not None else rolled_k
-        rv = rolled_v[:, :, :, ti] if ti is not None else rolled_v
+        rk = build_rolled(k, ti)
+        rv = build_rolled(v, ti)
+        n_rolled = rk.shape[4]
         pk = pool_k_h[:, :, ti] if ti is not None else pool_k_h
         pv = pool_v_h[:, :, ti] if ti is not None else pool_v_h
 
@@ -374,6 +376,9 @@ def sparse_window_attention(
         out = out.reshape(b, n_win, n_head, t, wh * ww, ch).astype(x.dtype)
     else:
         # XLA fallback: both branches batched, select by occupancy
+        if rolled_k_g is None:
+            rolled_k_g = build_rolled(k)
+            rolled_v_g = build_rolled(v)
         pool_k_b = jnp.broadcast_to(
             pool_k_g[:, None], (b, n_win, n_head, t_glob, p_h * p_w, ch)
         )
