@@ -441,10 +441,27 @@ def inpaint_generator_from_features(
     fh, fw = trans_feat.shape[1], trans_feat.shape[2]
     trans_feat = constrain_h(trans_feat.reshape(b, t, fh, fw, HIDDEN), 2)
 
-    trans_feat = transformer_stack(
-        p, "transformers", trans_feat, (h, w), mask_pool_l,
-        t_valid_mask=t_valid_mask,
-    )
+    from ..parallel.sequence import sequence_active
+
+    seq = sequence_active()
+    if seq is not None:
+        # temporal sequence parallelism (SURVEY §2.4b): tokens shard
+        # over T on the mesh axis, masked-window attention all-gathers
+        # its K/V segments over the shards (parallel/sequence.py).
+        # Selected by the feature stage for low-res windows where
+        # H-sharding leaves too few token rows per shard (stages.py
+        # _seq_selected).
+        from ..parallel.sequence import sequence_parallel_transformer
+
+        trans_feat = sequence_parallel_transformer(
+            p, "transformers", trans_feat, (h, w), mask_pool_l,
+            mesh=seq[0], t_valid_mask=t_valid_mask, axis=seq[1],
+        )
+    else:
+        trans_feat = transformer_stack(
+            p, "transformers", trans_feat, (h, w), mask_pool_l,
+            t_valid_mask=t_valid_mask,
+        )
 
     trans_feat = soft_comp(
         p, "sc", trans_feat.reshape(b * t, fh, fw, HIDDEN), (h, w)

@@ -129,14 +129,41 @@ def check_inputs(frames: np.ndarray, masks: np.ndarray) -> None:
         )
 
 
+def _upload_params(raw: dict, dtype) -> dict:
+    """Whole param tree in ONE host->device transfer.
+
+    Per-leaf jnp.asarray costs a round-trip per tensor — ~70ms each on a
+    remote-tunneled TPU, 33s for the three models' 452 leaves (round-4
+    warmup measurement). Casting on host (numpy + ml_dtypes), packing
+    into one flat buffer, and splitting on device in one jitted program
+    makes it one transfer + one dispatch."""
+    import jax
+
+    keys = list(raw.keys())
+    np_dtype = np.dtype(jnp.dtype(dtype).name)  # bf16 via ml_dtypes
+    flats = [np.ascontiguousarray(raw[k]).astype(np_dtype).ravel() for k in keys]
+    sizes = [f.size for f in flats]
+    buf = jnp.asarray(np.concatenate(flats))  # the one transfer
+
+    shapes = tuple(raw[k].shape for k in keys)
+    offs = np.concatenate([[0], np.cumsum(sizes)])
+
+    def split(b):
+        return tuple(
+            jax.lax.dynamic_slice_in_dim(b, int(o), int(n)).reshape(s)
+            for o, n, s in zip(offs[:-1], sizes, shapes)
+        )
+
+    leaves = jax.jit(split)(buf)
+    return dict(zip(keys, leaves))
+
+
 def _cached_params(model: str, dtype, allow_random: bool) -> dict:
     """Converted checkpoint params, cast + uploaded once per dtype."""
     key = (model, jnp.dtype(dtype).name, allow_random)
     if key not in _PARAM_CACHE:
         raw = weights_zoo.get_params(model, allow_random=allow_random)
-        _PARAM_CACHE[key] = {
-            k: jnp.asarray(v, dtype=dtype) for k, v in raw.items()
-        }
+        _PARAM_CACHE[key] = _upload_params(raw, dtype)
     return _PARAM_CACHE[key]
 
 

@@ -119,6 +119,10 @@ def _kernel(
         # wsz window keys of the SAME frame only. Batched per-frame
         # [wsz, wsz] dots — 13x fewer FLOPs than the one [QT, QT] dot
         # with a block-diagonal mask (t = QT/wsz frames).
+        # INVARIANT: rk_ref/rv_ref MUST NOT be read in this branch — the
+        # lo_[w] index map deliberately left them holding the last
+        # OCCUPIED window's blocks (possibly another batch row) so their
+        # DMA is skipped for clean windows.
         t = qt // wsz
         qb = q_ref[0, 0].reshape(t, wsz, ch)
         kb = wk_ref[0, 0].reshape(t, wsz, ch)

@@ -22,12 +22,37 @@ accumulation order — the gather reconstructs contiguous T).
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops.attention import transformer_stack
 from .mesh import MODEL_AXIS
+
+# (mesh, axis) while a sequence-parallel trace is active; consulted by
+# the model at its transformer call sites (models/propainter.py) so the
+# feature stage can select T-sharding per resolution (stages.py
+# _seq_selected) without the model code importing any mesh machinery.
+_ACTIVE: tuple[Mesh, str] | None = None
+
+
+def sequence_active() -> tuple[Mesh, str] | None:
+    return _ACTIVE
+
+
+@contextmanager
+def sequence_sharding(mesh: Mesh, axis: str = MODEL_AXIS):
+    """Route transformer stacks traced inside to
+    `sequence_parallel_transformer` over `axis` (T-sharding)."""
+    global _ACTIVE
+    prev = _ACTIVE
+    _ACTIVE = (mesh, axis)
+    try:
+        yield
+    finally:
+        _ACTIVE = prev
 
 
 def sequence_parallel_transformer(
@@ -44,21 +69,25 @@ def sequence_parallel_transformer(
 ) -> jnp.ndarray:
     """Run the transformer stack with T sharded over `axis`.
 
-    tokens: [B, T, f_h, f_w, C]; T must divide the axis size (pad frames
-    and mask them via t_valid_mask otherwise).
+    tokens: [B, T, f_h, f_w, C]; T is zero-padded up to a multiple of
+    the axis size (padded frames masked out via t_valid_mask — exact,
+    the attention key masks drop them) and the output sliced back.
     mask:   [B, l_t, H, W, 1] GLOBAL sparsity mask (replicated).
     """
-    t = tokens.shape[1]
+    t_in = tokens.shape[1]
     n_shards = mesh.shape[axis]
-    assert t % n_shards == 0, (
-        f"T={t} must divide the '{axis}' axis ({n_shards}); pad frames and "
-        "mask them with t_valid_mask"
-    )
+    t = -(-t_in // n_shards) * n_shards
     tv = (
         t_valid_mask
         if t_valid_mask is not None
-        else jnp.ones((t,), jnp.bool_)
+        else jnp.ones((t_in,), jnp.bool_)
     )
+    if t != t_in:
+        tokens = jnp.pad(
+            tokens, ((0, 0), (0, t - t_in), (0, 0), (0, 0), (0, 0))
+        )
+        pad = ((0, t - t_in),) if tv.ndim == 1 else ((0, 0), (0, t - t_in))
+        tv = jnp.pad(tv, pad)
 
     def fn(p_, x_, m_, tv_):
         return transformer_stack(
@@ -74,4 +103,4 @@ def sequence_parallel_transformer(
         out_specs=P(None, axis),
         check_vma=False,
     )
-    return fn_s(dict(params), tokens, mask, tv)
+    return fn_s(dict(params), tokens, mask, tv)[:, :t_in]

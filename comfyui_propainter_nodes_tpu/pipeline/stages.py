@@ -153,6 +153,72 @@ def window_plan(cfg: PipelineConfig, t: int):
     return windows
 
 
+def _window_tables(cfg: PipelineConfig, t: int):
+    """Static per-window index/validity tables for the feature stage.
+
+    Returns (sels, valids, starts, lts, refs, slot_valid, l_t_max,
+    ref_max): per-window frame selections (local + global refs padded to
+    static buckets), their validity, window start frames, per-window
+    local/ref counts, and the blend slot-validity map."""
+    windows = window_plan(cfg, t)
+    n_windows = len(windows)
+    neighbor_stride = cfg.neighbor_stride
+    l_t_max = 2 * neighbor_stride + 1
+    ref_max = max((len(r) for _, r in windows), default=0)
+    ref_max = max(2, -(-ref_max // 2) * 2)  # bucket to even
+    t_sel = l_t_max + ref_max
+
+    sels = np.zeros((n_windows, t_sel), np.int32)
+    valids = np.zeros((n_windows, t_sel), np.float32)
+    starts = np.zeros((n_windows,), np.int32)
+    lts = np.zeros((n_windows,), np.int32)
+    refs = np.zeros((n_windows,), np.int32)
+    slot_valid = np.zeros((n_windows, l_t_max), np.bool_)
+    for wi, (nids, rids) in enumerate(windows):
+        l_t, n_ref = len(nids), len(rids)
+        sels[wi] = np.asarray(
+            nids + [0] * (l_t_max - l_t) + rids + [0] * (ref_max - n_ref)
+        )
+        valids[wi, :l_t] = 1.0
+        valids[wi, l_t_max : l_t_max + n_ref] = 1.0
+        starts[wi] = nids[0]
+        lts[wi] = l_t
+        refs[wi] = n_ref
+        slot_valid[wi, :l_t] = True
+    return sels, valids, starts, lts, refs, slot_valid, l_t_max, ref_max
+
+
+def _blend_windows(imgs, starts, slot_valid, t: int, l_t_max: int):
+    """Overlap blend: first-visit-replace / revisit-0.5-blend, exactly
+    the reference's visit order (propainter_inference.py:294-307).
+    imgs [nW, l_t_max, H, W, 3] f32 0..255 -> [T, H, W, 3].
+    A T-independent `lax.scan` over windows on a frame canvas."""
+    h, w = imgs.shape[2], imgs.shape[3]
+    canvas0 = jnp.zeros((t + l_t_max, h, w, 3), jnp.float32)
+    seen0 = jnp.zeros((t + l_t_max,), jnp.bool_)
+
+    def step(carry, inp):
+        canvas, seen = carry
+        img_w, s0, sv = inp
+        cur = jax.lax.dynamic_slice_in_dim(canvas, s0, l_t_max, 0)
+        sn = jax.lax.dynamic_slice_in_dim(seen, s0, l_t_max, 0)
+        blended = jnp.where(
+            sn[:, None, None, None],
+            jnp.floor(0.5 * img_w + 0.5 * cur),
+            img_w,
+        )
+        svb = sv[:, None, None, None]
+        upd = jnp.where(svb, blended, cur)
+        canvas = jax.lax.dynamic_update_slice_in_dim(canvas, upd, s0, 0)
+        seen = jax.lax.dynamic_update_slice_in_dim(seen, sn | sv, s0, 0)
+        return (canvas, seen), None
+
+    (canvas, _), _ = jax.lax.scan(
+        step, (canvas0, seen0), (imgs, starts, slot_valid)
+    )
+    return canvas[:t]
+
+
 def _window_group_size(n_windows: int, dp: int) -> int:
     """Windows per batched forward. Default: all windows in one group
     (one dispatch, zero padding waste) capped at 8 for activation memory
@@ -232,6 +298,23 @@ class Pipeline:
         from ..parallel.mesh import MODEL_AXIS
 
         return self.mesh.shape.get(MODEL_AXIS, 1)
+
+    def _seq_selected(self, h: int) -> bool:
+        """How the mp>1 window forward distributes over the model axis:
+        T-sequence parallelism (parallel/sequence.py: tokens shard over
+        T, attention all-gathers K/V — SURVEY §2.4b) vs spatial
+        H-sharding (parallel/spatial.py — §2.4c). Sequence wins at low
+        resolution where H-sharding leaves too few token rows per shard
+        (at 640x360 the token grid is only ~30 rows; mp=4 H-shards are 7
+        rows against a 5-row window + pooled-key gathers). H-sharding
+        wins at >=720p where activations dominate and halo exchange
+        amortizes. PROPAINTER_TPU_SEQ=1/0 forces the choice."""
+        if self._mp() <= 1:
+            return False
+        env = os.environ.get("PROPAINTER_TPU_SEQ")
+        if env is not None:
+            return env == "1"
+        return h < 512
 
     def _chunk_mapped(self, fn, n_batched: int, n_rep: int = 1):
         """Wrap a chunk program for clip-parallel execution: with a
@@ -647,13 +730,10 @@ class Pipeline:
         program."""
         cfg = self.config
         dt = self.cdtype
-        windows = window_plan(cfg, t)
-        n_windows = len(windows)
-        neighbor_stride = cfg.neighbor_stride
-        l_t_max = 2 * neighbor_stride + 1
-        ref_max = max((len(r) for _, r in windows), default=0)
-        ref_max = max(2, -(-ref_max // 2) * 2)  # bucket to even
-        t_sel = l_t_max + ref_max
+        (
+            sels, valids, starts, lts, refs, slot_valid, l_t_max, ref_max
+        ) = _window_tables(cfg, t)
+        n_windows = sels.shape[0]
 
         dp = self._dp()
         mp = self._mp()
@@ -662,37 +742,20 @@ class Pipeline:
         # snapshot at trace time (baked into the program; part of the jit
         # key via _feature_key) — benches with no callback pay zero cost.
         # Requires backend host-callback support (the axon-tunneled TPU
-        # has none; there, progress stays at stage granularity).
+        # has none; there, feature_propagation switches to the polled
+        # per-group path instead — see _feature_polled).
         progress_on = self.progress is not None and callbacks_supported()
 
-        # static per-window index/validity tables
-        sels = np.zeros((n_windows, t_sel), np.int32)
-        valids = np.zeros((n_windows, t_sel), np.float32)
-        starts = np.zeros((n_windows,), np.int32)
-        lts = np.zeros((n_windows,), np.int32)
-        refs = np.zeros((n_windows,), np.int32)
-        for wi, (nids, rids) in enumerate(windows):
-            l_t, n_ref = len(nids), len(rids)
-            sels[wi] = np.asarray(
-                nids + [0] * (l_t_max - l_t) + rids + [0] * (ref_max - n_ref)
-            )
-            valids[wi, :l_t] = 1.0
-            valids[wi, l_t_max : l_t_max + n_ref] = 1.0
-            starts[wi] = nids[0]
-            lts[wi] = l_t
-            refs[wi] = n_ref
-
-        def predict_group_hoisted(
-            prm, enc_all, ds_ff_all, ds_fb_all, ds_md_all, ds_um_all,
+        def gather_group(
+            enc_all, ds_ff_all, ds_fb_all, ds_md_all, ds_um_all,
             pool_all, md_p, orig_p, grp,
         ):
-            """Single-device window prediction from HOISTED per-frame
-            features: every unique frame is encoded/downsampled ONCE
-            outside this call (the reference re-encodes each window's
-            frames — propainter_inference.py:275 + model/propainter.py:
-            376-385 — ~2.7x redundant at default window overlap); windows
-            gather from the feature tensors. Numerically identical: the
-            encoder and all downsampling are per-frame pure."""
+            """Window gathers from HOISTED per-frame features: every
+            unique frame is encoded/downsampled ONCE (the reference
+            re-encodes each window's frames — propainter_inference.py:275
+            + model/propainter.py:376-385 — ~2.7x redundant at default
+            window overlap). Numerically identical: the encoder and all
+            downsampling are per-frame pure."""
             gsel = jnp.asarray(sels[grp])  # [G, T_sel]
             gvalid = jnp.asarray(valids[grp], dt)[:, :, None, None, None]
             gvl = gvalid[:, :l_t_max]
@@ -715,16 +778,67 @@ class Pipeline:
             orig_slices = jax.vmap(
                 lambda s: jax.lax.dynamic_slice_in_dim(orig_p, s, l_t_max, 0)
             )(gn0)
+            return (
+                enc_sel, ds_ff, ds_fb, ds_mi_sel, ds_mu_sel, pool_sel,
+                md_local, orig_slices,
+                jnp.asarray(lts[grp]), jnp.asarray(refs[grp]),
+            )
+
+        def fwd_features(
+            prm, enc_sel, ds_ff, ds_fb, ds_mi_sel, ds_mu_sel, pool_sel,
+            md_local, orig_slices, ltv, rfv,
+        ):
+            """Window forward from gathered features + uint8 composite
+            (propainter_inference.py:283-293)."""
             pred = pp.inpaint_generator_from_features(
                 prm, enc_sel, ds_ff, ds_fb, ds_mi_sel, ds_mu_sel, pool_sel,
-                l_t_max, orig_p.shape[1:3],
-                l_t_valid=jnp.asarray(lts[grp]),
-                ref_valid=jnp.asarray(refs[grp]),
+                l_t_max, orig_slices.shape[2:4],
+                l_t_valid=ltv, ref_valid=rfv,
             )
             pred = pred.astype(jnp.float32)
             pred_byte = jnp.floor((pred + 1.0) / 2.0 * 255.0)
             binary = md_local.astype(jnp.float32)
             return jnp.floor(pred_byte * binary + orig_slices * (1.0 - binary))
+
+        def predict_group_hoisted(prm, args_h, md_p, orig_p, grp):
+            gathered = gather_group(*args_h, md_p, orig_p, grp)
+            if mesh is not None and mp > 1:
+                # model-axis window forward: either H-sharded (SURVEY
+                # §2.4c — windows over "data", image height over "model",
+                # GSPMD partitioning under the spatial_sharding
+                # constraints active for the whole feature program) or
+                # T-sequence-parallel (§2.4b — the transformer call
+                # routes through parallel/sequence.py; the rest stays
+                # windows-over-"data"). See _seq_selected.
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                from ..parallel.mesh import DATA_AXIS, MODEL_AXIS
+                from ..parallel.sequence import sequence_active
+
+                def sh(a, h_dim):
+                    spec = [None] * a.ndim
+                    spec[0] = DATA_AXIS
+                    if h_dim is not None:
+                        spec[h_dim] = MODEL_AXIS
+                    return jax.lax.with_sharding_constraint(
+                        a, NamedSharding(mesh, P(*spec))
+                    )
+
+                if sequence_active() is not None:
+                    h_dims = (None,) * 10
+                else:
+                    h_dims = (2, 2, 2, 2, 2, 2, 2, 2, None, None)
+                gathered = tuple(
+                    sh(a, hd) for a, hd in zip(gathered, h_dims)
+                )
+                return fwd_features(prm, *gathered)
+            if mesh is not None and dp > 1:
+                # windows shard over the mesh data axis; each device runs
+                # the whole per-window forward (Pallas kernels included)
+                # on its local windows
+                return self._chunk_mapped(fwd_features, n_batched=10)(
+                    prm, *gathered
+                )
+            return fwd_features(prm, *gathered)
 
         def predict_group(prm, uf_p, um_p, md_p, ff_p, fb_p, orig_p, grp):
             """Batched window prediction for a static group of window ids:
@@ -807,42 +921,10 @@ class Pipeline:
                 jnp.asarray(lts[grp]), jnp.asarray(refs[grp]),
             )
 
-        # blend visit tables: window wi covers frames starts[wi] ..
-        # starts[wi]+l_t-1; scan over windows in order reproduces the
-        # reference's first-visit-replace / revisit-0.5-blend exactly
-        # (propainter_inference.py:294-307). T-independent compile.
-        slot_valid = np.zeros((n_windows, l_t_max), np.bool_)
-        for wi, (nids, _) in enumerate(windows):
-            slot_valid[wi, : len(nids)] = True
-
         def blend(imgs):
-            """imgs [nW, l_t_max, H, W, 3] f32 0..255 -> [T, H, W, 3]."""
-            h, w = imgs.shape[2], imgs.shape[3]
-            canvas0 = jnp.zeros((t + l_t_max, h, w, 3), jnp.float32)
-            seen0 = jnp.zeros((t + l_t_max,), jnp.bool_)
-
-            def step(carry, inp):
-                canvas, seen = carry
-                img_w, s0, sv = inp
-                cur = jax.lax.dynamic_slice_in_dim(canvas, s0, l_t_max, 0)
-                sn = jax.lax.dynamic_slice_in_dim(seen, s0, l_t_max, 0)
-                blended = jnp.where(
-                    sn[:, None, None, None],
-                    jnp.floor(0.5 * img_w + 0.5 * cur),
-                    img_w,
-                )
-                svb = sv[:, None, None, None]
-                upd = jnp.where(svb, blended, cur)
-                canvas = jax.lax.dynamic_update_slice_in_dim(canvas, upd, s0, 0)
-                seen = jax.lax.dynamic_update_slice_in_dim(seen, sn | sv, s0, 0)
-                return (canvas, seen), None
-
-            (canvas, _), _ = jax.lax.scan(
-                step,
-                (canvas0, seen0),
-                (imgs, jnp.asarray(starts), jnp.asarray(slot_valid)),
+            return _blend_windows(
+                imgs, jnp.asarray(starts), jnp.asarray(slot_valid), t, l_t_max
             )
-            return canvas[:t]
 
         def f(prm, updated_frames, updated_masks, masks_dilated, flows_f,
               flows_b, original_frames):
@@ -863,55 +945,265 @@ class Pipeline:
                 ((0, l_t_max), (0, 0), (0, 0), (0, 0)),
             )
 
-            hoist = mesh is None
-            if hoist:
-                # per-frame pure work ONCE per unique frame (single-device;
-                # the sharded paths keep per-window encoding so their
-                # tested placement is untouched)
-                h4 = updated_frames.shape[2] // 4
-                w4 = updated_frames.shape[3] // 4
-                enc_all = pp.encode_features(
-                    prm, uf_p[0, :t], md_p[0, :t], um_p[0, :t]
-                )
-                ds_ff_all = pp.downsample_flow(ff_p, h4, w4)[0]
-                ds_fb_all = pp.downsample_flow(fb_p, h4, w4)[0]
-                ds_md_all = pp.downsample_mask(md_p, h4, w4)[0]
-                ds_um_all = pp.downsample_mask(um_p, h4, w4)[0]
-                pool_all = pp.attention_pool_mask(ds_md_all[None])[0]
-                # gsel pad slots index frame 0; pad the T axis for the
-                # dynamic flow slices only (gathers stay in-range)
-                args_h = (
-                    enc_all, ds_ff_all, ds_fb_all, ds_md_all, ds_um_all,
-                    pool_all,
-                )
+            # per-frame pure work ONCE per unique frame, on every path
+            # (PROPAINTER_TPU_HOIST=0 keeps the reference-shaped
+            # per-window encode as a test oracle). With a mesh the
+            # per-frame encode shards frames over "data" (and H over
+            # "model" when mp>1); the window gathers all-gather the
+            # features (GSPMD inserts the collective; enc_all is ~44MB
+            # bf16 at 640x360 — cheap over ICI vs ~2.7x re-encode).
+            hoist = os.environ.get("PROPAINTER_TPU_HOIST", "1") == "1"
+            from contextlib import nullcontext
 
+            if mesh is not None and mp > 1:
+                from ..parallel.mesh import MODEL_AXIS
+
+                if self._seq_selected(updated_frames.shape[2]):
+                    from ..parallel.sequence import sequence_sharding
+
+                    trace_ctx = sequence_sharding(mesh, MODEL_AXIS)
+                else:
+                    from ..parallel.spatial import spatial_sharding
+
+                    trace_ctx = spatial_sharding(mesh, MODEL_AXIS)
+            else:
+                trace_ctx = nullcontext()
+
+            with trace_ctx:
+                if hoist:
+                    h4 = updated_frames.shape[2] // 4
+                    w4 = updated_frames.shape[3] // 4
+                    seq_on = mesh is not None and mp > 1 and (
+                        self._seq_selected(updated_frames.shape[2])
+                    )
+
+                    def frame_sharded(a, h_dim=None):
+                        if mesh is None or (dp <= 1 and mp <= 1):
+                            return a
+                        from jax.sharding import (
+                            NamedSharding, PartitionSpec as P,
+                        )
+                        from ..parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+                        spec = [None] * a.ndim
+                        if dp > 1:
+                            spec[0] = DATA_AXIS
+                        if mp > 1 and h_dim is not None and not seq_on:
+                            spec[h_dim] = MODEL_AXIS
+                        return jax.lax.with_sharding_constraint(
+                            a, NamedSharding(mesh, P(*spec))
+                        )
+
+                    enc_all = frame_sharded(
+                        pp.encode_features(
+                            prm, uf_p[0, :t], md_p[0, :t], um_p[0, :t]
+                        ),
+                        1,
+                    )
+                    ds_ff_all = frame_sharded(
+                        pp.downsample_flow(ff_p, h4, w4)[0], 1
+                    )
+                    ds_fb_all = frame_sharded(
+                        pp.downsample_flow(fb_p, h4, w4)[0], 1
+                    )
+                    ds_md_all = frame_sharded(
+                        pp.downsample_mask(md_p, h4, w4)[0], 1
+                    )
+                    ds_um_all = frame_sharded(
+                        pp.downsample_mask(um_p, h4, w4)[0], 1
+                    )
+                    pool_all = frame_sharded(
+                        pp.attention_pool_mask(ds_md_all[None])[0], 1
+                    )
+                    # gsel pad slots index frame 0; pad the T axis for the
+                    # dynamic flow slices only (gathers stay in-range)
+                    args_h = (
+                        enc_all, ds_ff_all, ds_fb_all, ds_md_all, ds_um_all,
+                        pool_all,
+                    )
+
+                imgs = []
+                for g0 in range(0, n_windows, group_size):
+                    grp = list(range(g0, min(n_windows, g0 + group_size)))
+                    done = grp[-1] + 1
+                    grp = grp + [grp[-1]] * (group_size - len(grp))
+                    if hoist:
+                        out = predict_group_hoisted(
+                            prm, args_h, md_p, orig_p, grp
+                        )
+                    else:
+                        out = predict_group(
+                            prm, uf_p, um_p, md_p, ff_p, fb_p, orig_p, grp
+                        )
+                    if progress_on:
+                        # runtime tick: fires as the device finishes this
+                        # group (the scalar arg makes it data-dependent on
+                        # the group's output)
+                        jax.debug.callback(
+                            lambda _x, d=done: self._report(
+                                "feature_windows", int(d), n_windows
+                            ),
+                            out[0, 0, 0, 0, 0],
+                        )
+                    imgs.append(out[: min(n_windows, g0 + group_size) - g0])
+            return blend(jnp.concatenate(imgs, axis=0))
+
+        return f
+
+    def _poll_progress(self, t: int) -> bool:
+        """Whether the feature stage should run as per-group dispatches
+        with host-side progress ticks: a progress callback is set, the
+        backend can't run host callbacks from traced programs (the
+        axon-tunneled TPU), and there is more than one window group to
+        report on. Trades a few dispatches for visibility (VERDICT r3
+        weak #8); PROPAINTER_TPU_POLL_PROGRESS=0 opts out."""
+        if self.progress is None or callbacks_supported():
+            return False
+        if os.environ.get("PROPAINTER_TPU_POLL_PROGRESS", "1") == "0":
+            return False
+        if self.mesh is not None:
+            return False
+        n_windows = len(window_plan(self.config, t))
+        return n_windows > _window_group_size(n_windows, self._dp())
+
+    def _feature_prep_fn(self, t: int, l_t_max: int):
+        """Hoisted per-frame features + padded stage tensors as one
+        program (the polled path's first dispatch)."""
+        dt = self.cdtype
+
+        def f(prm, updated_frames, updated_masks, masks_dilated, flows_f,
+              flows_b, original_frames):
+            updated_frames = updated_frames.astype(dt)
+            updated_masks = updated_masks.astype(dt)
+            masks_dilated = masks_dilated.astype(dt)
+            flows_f = flows_f.astype(dt)
+            flows_b = flows_b.astype(dt)
+            pad_t = ((0, 0), (0, l_t_max), (0, 0), (0, 0), (0, 0))
+            uf_p = jnp.pad(updated_frames, pad_t)
+            um_p = jnp.pad(updated_masks, pad_t)
+            md_p = jnp.pad(masks_dilated, pad_t)
+            ff_p = jnp.pad(flows_f, pad_t)
+            fb_p = jnp.pad(flows_b, pad_t)
+            orig_p = jnp.pad(
+                original_frames.astype(jnp.float32),
+                ((0, l_t_max), (0, 0), (0, 0), (0, 0)),
+            )
+            h4 = updated_frames.shape[2] // 4
+            w4 = updated_frames.shape[3] // 4
+            enc_all = pp.encode_features(
+                prm, uf_p[0, :t], md_p[0, :t], um_p[0, :t]
+            )
+            ds_ff_all = pp.downsample_flow(ff_p, h4, w4)[0]
+            ds_fb_all = pp.downsample_flow(fb_p, h4, w4)[0]
+            ds_md_all = pp.downsample_mask(md_p, h4, w4)[0]
+            ds_um_all = pp.downsample_mask(um_p, h4, w4)[0]
+            pool_all = pp.attention_pool_mask(ds_md_all[None])[0]
+            return (
+                enc_all, ds_ff_all, ds_fb_all, ds_md_all, ds_um_all,
+                pool_all, md_p, orig_p,
+            )
+
+        return f
+
+    def _feature_group_fn(self, l_t_max: int):
+        """One window group as its own program, with the window tables
+        TRACED (gsel/gvalid/gn0/ltv/rfv as arrays) so one compile serves
+        every group of the clip."""
+        dt = self.cdtype
+
+        def f(prm, enc_all, ds_ff_all, ds_fb_all, ds_md_all, ds_um_all,
+              pool_all, md_p, orig_p, gsel, gvalid, gn0, ltv, rfv):
+            gvalid = gvalid.astype(dt)[:, :, None, None, None]
+            gvl = gvalid[:, :l_t_max]
+            enc_sel = enc_all[gsel]
+            ds_mi_sel = ds_md_all[gsel[:, :l_t_max]] * gvl
+            ds_mu_sel = ds_um_all[gsel[:, :l_t_max]] * gvl
+            pool_sel = pool_all[gsel[:, :l_t_max]] * gvl
+            md_local = md_p[0, gsel[:, :l_t_max]] * gvl
+            ds_ff = jax.vmap(
+                lambda s: jax.lax.dynamic_slice_in_dim(
+                    ds_ff_all, s, l_t_max - 1, 0
+                )
+            )(gn0)
+            ds_fb = jax.vmap(
+                lambda s: jax.lax.dynamic_slice_in_dim(
+                    ds_fb_all, s, l_t_max - 1, 0
+                )
+            )(gn0)
+            orig_slices = jax.vmap(
+                lambda s: jax.lax.dynamic_slice_in_dim(orig_p, s, l_t_max, 0)
+            )(gn0)
+            pred = pp.inpaint_generator_from_features(
+                prm, enc_sel, ds_ff, ds_fb, ds_mi_sel, ds_mu_sel, pool_sel,
+                l_t_max, orig_p.shape[1:3],
+                l_t_valid=ltv, ref_valid=rfv,
+            )
+            pred = pred.astype(jnp.float32)
+            pred_byte = jnp.floor((pred + 1.0) / 2.0 * 255.0)
+            binary = md_local.astype(jnp.float32)
+            return jnp.floor(pred_byte * binary + orig_slices * (1.0 - binary))
+
+        return f
+
+    def _feature_polled(
+        self, updated_frames, updated_masks, masks_dilated, pred_flows,
+        original_frames,
+    ):
+        """Feature stage as per-group dispatches with host progress ticks
+        between them (backends without host-callback support). Each tick
+        fetches one 4-byte scalar to make it truthful; the dispatches per
+        group are the visibility cost (see _poll_progress)."""
+        t = updated_frames.shape[1]
+        cfg = self.config
+        (
+            sels, valids, starts, lts, refs, slot_valid, l_t_max, ref_max
+        ) = _window_tables(cfg, t)
+        n_windows = sels.shape[0]
+        group_size = _window_group_size(n_windows, 1)
+        hw = tuple(updated_frames.shape[2:4])
+
+        prep = self.jits.get(
+            "feature_poll_prep", (t, l_t_max) + hw,
+            lambda: self._feature_prep_fn(t, l_t_max),
+        )
+        group_fn = self.jits.get(
+            "feature_poll_group",
+            (t, group_size, l_t_max, ref_max) + hw,
+            lambda: self._feature_group_fn(l_t_max),
+        )
+
+        def build_blend():
+            st = jnp.asarray(starts)
+            sv = jnp.asarray(slot_valid)
+            return lambda imgs: _blend_windows(imgs, st, sv, t, l_t_max)
+
+        blend_fn = self.jits.get(
+            "feature_poll_blend", (t, n_windows, l_t_max) + hw, build_blend
+        )
+
+        self._report("feature_propagation", 0, n_windows)
+        with stage_timer("feature_propagation") as tm:
+            args = prep(
+                self.inpaint_params, updated_frames, updated_masks,
+                masks_dilated, pred_flows[0], pred_flows[1], original_frames,
+            )
             imgs = []
             for g0 in range(0, n_windows, group_size):
                 grp = list(range(g0, min(n_windows, g0 + group_size)))
                 done = grp[-1] + 1
                 grp = grp + [grp[-1]] * (group_size - len(grp))
-                if hoist:
-                    out = predict_group_hoisted(
-                        prm, *args_h, md_p, orig_p, grp
-                    )
-                else:
-                    out = predict_group(
-                        prm, uf_p, um_p, md_p, ff_p, fb_p, orig_p, grp
-                    )
-                if progress_on:
-                    # runtime tick: fires as the device finishes this
-                    # group (the scalar arg makes it data-dependent on
-                    # the group's output)
-                    jax.debug.callback(
-                        lambda _x, d=done: self._report(
-                            "feature_windows", int(d), n_windows
-                        ),
-                        out[0, 0, 0, 0, 0],
-                    )
+                out = group_fn(
+                    self.inpaint_params, *args,
+                    jnp.asarray(sels[grp]), jnp.asarray(valids[grp]),
+                    jnp.asarray(starts[grp]), jnp.asarray(lts[grp]),
+                    jnp.asarray(refs[grp]),
+                )
+                np.asarray(jnp.max(out[0, 0, 0, 0]))  # truthful tick
+                self._report("feature_propagation", done, n_windows)
                 imgs.append(out[: min(n_windows, g0 + group_size) - g0])
-            return blend(jnp.concatenate(imgs, axis=0))
-
-        return f
+            out = tm.set(blend_fn(jnp.concatenate(imgs, axis=0)))
+        self._report("feature_propagation", n_windows, n_windows)
+        return out
 
     def feature_propagation(
         self,
@@ -922,12 +1214,18 @@ class Pipeline:
         original_frames,
     ):
         """Sliding-window transformer inference + on-device composition +
-        overlap blend (propainter_inference.py:228-311). ONE dispatch.
+        overlap blend (propainter_inference.py:228-311). ONE dispatch
+        (or per-group dispatches with progress ticks — _poll_progress).
 
         original_frames: [T, H, W, 3] float 0..255 integer-valued.
         Returns composed video [T, H, W, 3] float 0..255 (uint8-exact).
         """
         t = updated_frames.shape[1]
+        if self._poll_progress(t):
+            return self._feature_polled(
+                updated_frames, updated_masks, masks_dilated, pred_flows,
+                original_frames,
+            )
         fn = self.jits.get(
             "feature_stage",
             self._feature_key(t) + updated_frames.shape[2:4],
@@ -950,6 +1248,8 @@ class Pipeline:
             _window_group_size(len(window_plan(cfg, t)), self._dp()),
             self._mp(),
             self.progress is not None and callbacks_supported(),
+            os.environ.get("PROPAINTER_TPU_HOIST", "1"),
+            os.environ.get("PROPAINTER_TPU_SEQ"),
         )
 
     # ------------------------------------------- streaming chunk programs
@@ -1051,8 +1351,12 @@ class Pipeline:
         and image-propagation chunking only trigger past subvideo_length).
         RAFT chunking is folded in regardless (it has no semantics).
         Opt out with PROPAINTER_TPU_FUSED=0 (e.g. for stage-split
-        instrumentation)."""
+        instrumentation). When per-group progress polling is active
+        (callback set, backend without host callbacks, >1 window group)
+        the staged path runs instead so the feature stage can tick."""
         if os.environ.get("PROPAINTER_TPU_FUSED", "1") == "0":
+            return False
+        if self._poll_progress(t):
             return False
         return t <= self.config.subvideo_length and t <= 100
 
@@ -1061,12 +1365,19 @@ class Pipeline:
         complete_fn = self._complete_fn(t - 1)
         imgprop_fn = self._imgprop_fn(t)
         feature_fn = self._feature_fn(t)
+        # optimization_barrier between stages: still ONE dispatch, but
+        # XLA's whole-module passes stop optimizing across the stage
+        # boundaries. The unbarriered fused module hits superlinear
+        # compile behavior (~1400s vs ~60s for the 4 stages compiled
+        # separately — BENCH_r03.json / scripts/probe_compile.py).
+        barrier = os.environ.get("PROPAINTER_TPU_FUSE_BARRIER", "1") == "1"
+        bar = jax.lax.optimization_barrier if barrier else (lambda x: x)
 
         def f(raft_prm, flow_prm, inpaint_prm, frames_norm, flow_masks,
               masks_dilated, original_frames):
-            gt_f, gt_b = flow_fn(raft_prm, frames_norm)
-            pf, pb = complete_fn(flow_prm, gt_f, gt_b, flow_masks)
-            uf, um = imgprop_fn(frames_norm, masks_dilated, pf, pb)
+            gt_f, gt_b = bar(flow_fn(raft_prm, frames_norm))
+            pf, pb = bar(complete_fn(flow_prm, gt_f, gt_b, flow_masks))
+            uf, um = bar(imgprop_fn(frames_norm, masks_dilated, pf, pb))
             return feature_fn(
                 inpaint_prm, uf, um, masks_dilated, pf, pb, original_frames
             )

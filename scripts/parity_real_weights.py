@@ -313,6 +313,29 @@ def main() -> int:
         )
         record("ours_fp32_vs_reference", ours_fp32, ref, gate=args.ssim_gate)
         record("ours_bf16_vs_reference", ours_bf16, ref, gate=args.ssim_gate)
+        # bf16-RAFT default gate (config.py raft_bf16=None follows fp16;
+        # the reference pins RAFT fp32 — utils/model_utils.py:55-58):
+        # the default is PROVISIONAL until this gate passes. Fail loudly
+        # if bf16-RAFT costs >0.001 SSIM vs fp32-RAFT against the same
+        # reference output.
+        s_raft = ssim(ours_raftbf16, ref)
+        s_fp32raft = ssim(ours_bf16, ref)
+        r = {
+            "pair": "raft_bf16_ssim_drop_vs_raft_fp32",
+            "ssim_raft_bf16": round(s_raft, 5),
+            "ssim_raft_fp32": round(s_fp32raft, 5),
+            "drop": round(s_fp32raft - s_raft, 5),
+            "gate": 0.001,
+            "pass": bool(s_fp32raft - s_raft <= 0.001),
+        }
+        print(json.dumps(r))
+        results.append(r)
+        if not r["pass"]:
+            print(
+                "bf16-RAFT default FAILS its quality gate: set "
+                "PipelineConfig(raft_bf16=False) (one config flip).",
+                file=sys.stderr,
+            )
     record("ours_bf16_vs_ours_fp32", ours_bf16, ours_fp32)
     record("ours_raft_bf16_vs_ours_bf16", ours_raftbf16, ours_bf16)
 

@@ -212,3 +212,87 @@ def test_raft_forward_parity_20_iters_contractive(torch_raft, jax_params):
     )
     err = np.abs(ours - ref_flow)
     assert np.quantile(err, 0.99) < 2e-3, f"p99 err {np.quantile(err, 0.99):.3e}"
+
+
+def test_raft_20iter_per_iteration_parity_fp64(torch_raft, monkeypatch):
+    """Per-iteration fidelity of the flagship raft_iter=20 loop at fp64
+    (VERDICT r3 task 6): torch double vs jax x64, max-abs-diff of every
+    iteration's UPSAMPLED flow bounded over all 20 iterations.
+
+    The flow head is damped 100x on both sides so the recurrence is
+    contractive (random weights are chaotic: ~30x fp-noise amplification
+    per iteration — see test_raft_scan_matches_unrolled_iterations; real
+    pretrained weights are contractive, so this is the faithful regime).
+    Measured behavior: the per-iter diff grows LINEARLY at ~1.2e-9/iter
+    (accumulating conv-reassociation noise, no chaotic amplification),
+    reaching ~2.3e-8 by iter 20 — the envelope asserts that linear
+    growth with ~2x headroom, 3+ orders tighter than anything fp32 can
+    certify. Oracle: /root/reference/model/modules/RAFT/raft.py:130-147
+    (test_mode=False returns the per-iteration flow_predictions)."""
+    import copy
+
+    damped = copy.deepcopy(torch_raft).double()
+    with torch.no_grad():
+        damped.update_block.flow_head.conv2.weight *= 0.01
+        damped.update_block.flow_head.conv2.bias *= 0.01
+    damped.eval()
+
+    rng = np.random.default_rng(11)
+    # >=128x160 keeps the level-3 corr map >=2x2 (at 1x1 the reference's
+    # grid normalization divides by W-1=0 -> NaN on both sides)
+    h, w = 128, 160
+    im1 = rng.uniform(-1, 1, (1, h, w, 3))
+    im2 = np.clip(im1 + rng.normal(0, 0.05, im1.shape), -1, 1)
+
+    # the reference hard-casts to fp32 internally (raft.py:109-110
+    # fmap.float(), corr.py:49 .float(), utils.py:85 coords .float());
+    # for a genuine double-precision oracle those casts must keep double
+    # precision for this forward only
+    monkeypatch.setattr(torch.Tensor, "float", torch.Tensor.double)
+    with torch.no_grad():
+        preds = damped(
+            torch.from_numpy(im1).permute(0, 3, 1, 2),
+            torch.from_numpy(im2).permute(0, 3, 1, 2),
+            iters=20,
+            test_mode=False,
+        )
+    monkeypatch.undo()
+    ref_iters = [p.permute(0, 2, 3, 1).numpy() for p in preds]
+    assert ref_iters[0].dtype == np.float64
+
+    with jax.enable_x64(True):
+        p = {
+            k: jnp.asarray(np.asarray(v), jnp.float64)
+            for k, v in convert_state_dict(damped.state_dict()).items()
+        }
+        im1j = jnp.asarray(im1, jnp.float64)
+        im2j = jnp.asarray(im2, jnp.float64)
+        both = jnp.concatenate([im1j, im2j], axis=0)
+        fmaps = jraft.basic_encoder(p, "fnet", both, norm="instance")
+        pyramid = jraft.build_corr_pyramid(fmaps[:1], fmaps[1:])
+        cnet = jraft.basic_encoder(p, "cnet", im1j, norm="batch")
+        net = jnp.tanh(cnet[..., : jraft.HDIM])
+        inp = jax.nn.relu(cnet[..., jraft.HDIM :])
+        from comfyui_propainter_nodes_tpu.ops.warp import coords_grid
+
+        coords0 = coords_grid(1, h // 8, w // 8, dtype=jnp.float64)
+        coords1 = coords0
+        per_iter_diff = []
+        for it in range(20):
+            corr = jraft.lookup_corr(pyramid, coords1)
+            flow = coords1 - coords0
+            net, delta = jraft._update_block(p, net, inp, corr, flow)
+            coords1 = coords1 + delta
+            flow_up = jraft.convex_upsample(
+                coords1 - coords0, jraft._upsample_mask(p, net)
+            )
+            assert flow_up.dtype == jnp.float64  # x64 actually in effect
+            per_iter_diff.append(
+                float(np.max(np.abs(np.asarray(flow_up) - ref_iters[it])))
+            )
+
+    for it, d in enumerate(per_iter_diff):
+        assert d < 2.5e-9 * (it + 1) + 2e-9, (
+            f"iter {it}: {d:.3e} breaks the linear fp64 noise envelope; "
+            f"full trajectory: {per_iter_diff}"
+        )

@@ -92,9 +92,11 @@ def test_binarize():
 
 
 def test_deform_conv_quad_matches_xla():
-    """deform_conv2d_quad (the TPU default: one flat row-gather per
-    sample over a quad-packed zero-padded grid) == deform_conv2d_xla,
-    including boundary-straddling and far out-of-bounds offsets."""
+    """deform_conv2d_quad (one flat row-gather per sample over a
+    quad-packed zero-padded grid; the env-opt-in PROPAINTER_TPU_DEFORM=
+    quad alternative — measured 13x slower than the default Pallas tent
+    kernel on v5e) == deform_conv2d_xla, including boundary-straddling
+    and far out-of-bounds offsets."""
     import jax.numpy as jnp
     import numpy as np
 

@@ -140,3 +140,41 @@ def test_inpaint_generator_padded_equivalence(pp_params):
     np.testing.assert_allclose(
         np.asarray(out[:, :l_t]), np.asarray(ref), atol=2e-5, rtol=1e-4
     )
+
+
+def test_hoisted_feature_stage_matches_per_window_encode(monkeypatch):
+    """predict_group_hoisted (per-frame encode ONCE, window gathers) ==
+    predict_group (reference-shaped per-window encode), including windows
+    with padded local/ref slots and a padded final window group.
+
+    Pins the l_t_valid/ref_valid key-masking + scan-reset contract the
+    hoisted path relies on for real-frame exactness (pad slots reuse
+    frame 0's features computed with un-zeroed masks)."""
+    from comfyui_propainter_nodes_tpu.config import PipelineConfig
+    from comfyui_propainter_nodes_tpu.pipeline.stages import Pipeline
+    from comfyui_propainter_nodes_tpu.utils import weights as wz
+
+    # group size 3 over 8 windows -> the last group has a padded slot;
+    # neighbor windows at the clip edges have padded local slots
+    monkeypatch.setenv("PROPAINTER_TPU_WINDOW_BATCH", "3")
+
+    t, h, w = 16, 48, 64
+    rng = np.random.default_rng(5)
+    frames = jnp.asarray(rng.uniform(-1, 1, (1, t, h, w, 3)).astype(np.float32))
+    masks = jnp.zeros((1, t, h, w, 1)).at[:, :, 16:32, 20:44].set(1.0)
+    orig = jnp.asarray(rng.uniform(0, 255, (t, h, w, 3)).astype(np.float32))
+
+    cfg = PipelineConfig(
+        ref_stride=4, neighbor_length=4, subvideo_length=80, raft_iter=1,
+        fp16="disable", process_size=(w, h),
+    )
+    params = [
+        wz.get_params(m, allow_random=True)
+        for m in ("raft", "flow_completion", "inpaint_generator")
+    ]
+
+    monkeypatch.setenv("PROPAINTER_TPU_HOIST", "1")
+    hoisted = Pipeline(*params, cfg).process(frames, masks, masks, orig)
+    monkeypatch.setenv("PROPAINTER_TPU_HOIST", "0")
+    per_window = Pipeline(*params, cfg).process(frames, masks, masks, orig)
+    np.testing.assert_array_equal(np.asarray(hoisted), np.asarray(per_window))

@@ -182,3 +182,48 @@ def test_sequence_parallel_transformer_matches_unsharded():
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4
     )
+
+
+def test_sequence_parallel_pipeline_matches_unsharded(monkeypatch):
+    """PRODUCT sequence parallelism (SURVEY §2.4b): the full pipeline
+    with the mp>1 window forward routed through the T-sharded
+    transformer (stages.py _seq_selected -> parallel/sequence.py) must
+    reproduce the single-device video. T_sel=7 here does not divide the
+    4-way model axis — exercises the auto-pad + key-mask path."""
+    import os
+
+    monkeypatch.setenv("PROPAINTER_TPU_WINDOW_BATCH", "4")
+    monkeypatch.setenv("PROPAINTER_TPU_SEQ", "1")
+    from comfyui_propainter_nodes_tpu.config import PipelineConfig
+    from comfyui_propainter_nodes_tpu.pipeline.stages import Pipeline
+    from comfyui_propainter_nodes_tpu.utils import weights as wz
+
+    t, h, w = 16, 48, 64
+    rng = np.random.default_rng(2)
+    frames = jnp.asarray(rng.uniform(-1, 1, (1, t, h, w, 3)).astype(np.float32))
+    masks = jnp.zeros((1, t, h, w, 1)).at[:, :, 16:32, 20:44].set(1.0)
+    orig = jnp.asarray(rng.uniform(0, 255, (t, h, w, 3)).astype(np.float32))
+
+    cfg = PipelineConfig(
+        ref_stride=4, neighbor_length=4, subvideo_length=80, raft_iter=1,
+        fp16="disable", process_size=(w, h),
+    )
+    params = [
+        wz.get_params(m, allow_random=True)
+        for m in ("raft", "flow_completion", "inpaint_generator")
+    ]
+    monkeypatch.delenv("PROPAINTER_TPU_SEQ", raising=False)
+    base = Pipeline(*params, cfg).process(frames, masks, masks, orig)
+
+    monkeypatch.setenv("PROPAINTER_TPU_SEQ", "1")
+    mesh = make_mesh(8, model_parallel=4)  # 2 data x 4 model (T shards)
+    pipe = Pipeline(*params, cfg, mesh=mesh)
+    assert pipe._seq_selected(h)
+    sharded = pipe.process(frames, masks, masks, orig)
+    # the gathered-KV attention reduces in a different association order
+    # than the single-device kernel; a uint8 floor can flip on isolated
+    # pixels (same tolerance rationale as __graft_entry__'s mp leg)
+    d = np.abs(np.asarray(base) - np.asarray(sharded))
+    assert d.max() <= 1 and (d > 0).mean() < 1e-4, (
+        f"max diff {d.max()}, frac>0 {(d > 0).mean():.2e}"
+    )

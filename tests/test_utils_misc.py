@@ -112,3 +112,33 @@ def test_checksum_verify_and_tamper_detection(tmp_path):
 
     with pytest.raises(IOError):
         verify_checksum(str(p))
+
+
+def test_parity_real_weights_exit2_smoke():
+    """The real-weights parity gate must be RUNNABLE end-to-end through
+    its air-gapped path: with no pretrained checkpoints on disk it exits
+    2 ("not run", distinct from gate failure 1) and emits the
+    machine-readable not_run JSON (VERDICT r3 task 3c)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    # point the weights cache somewhere empty so a developer's local
+    # checkpoint download can't flip this test onto the heavy path
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        env["PROPAINTER_TPU_WEIGHTS"] = td
+        env["JAX_PLATFORMS"] = "cpu"
+        proc = subprocess.run(
+            [sys.executable, os.path.join(repo, "scripts", "parity_real_weights.py")],
+            capture_output=True, text=True, timeout=300, env=env, cwd=repo,
+        )
+    assert proc.returncode == 2, (proc.stdout, proc.stderr)
+    lines = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")]
+    status = json.loads(lines[-1])
+    assert status["status"] == "not_run"
+    assert "checkpoints unavailable" in status["reason"]
