@@ -28,6 +28,7 @@ from ..ops import (
     leaky_relu,
     max_pool2d,
     pconv2d,
+    resize_2x_window,
     resize_bilinear,
     resize_nearest,
 )
@@ -81,6 +82,51 @@ def decoder(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     x = leaky_relu(pconv2d(p, "decoder.2", x, padding=(1, 1)), 0.2)
     x = leaky_relu(deconv("decoder.4", x), 0.2)
     return pconv2d(p, "decoder.6", x, padding=(1, 1))
+
+
+DECODER_HALO4 = 4  # 1/4-res halo rows/cols covering the decoder's
+# receptive field (convs +-3.25 at 1/4 incl. the two 2x resizes)
+
+
+def decoder_crop(
+    p: Params,
+    x: jnp.ndarray,
+    y0,
+    x0,
+    ch: int,
+    cw: int,
+) -> jnp.ndarray:
+    """`decoder` restricted to the full-res crop [y0:y0+ch, x0:x0+cw).
+
+    x: the FULL [N, h4, w4, 128] quarter-res features; y0/x0 traced
+    full-res offsets (multiples of 8 — the node's crop plan buckets to
+    32); ch/cw static. Exact: the block is sliced with DECODER_HALO4
+    halo, the two 2x upsamples sample on the FULL image grid
+    (ops.resize.resize_2x_window), and the halo — which absorbs both
+    conv-padding pollution and the resize boundary rows — is trimmed
+    off at full res. The full-res tail of the decoder dominates the
+    feature stage's HBM traffic (~62ms of [55,360,640,64] tensors at
+    640x360); decoding only the mask bbox makes it scale with the crop.
+    """
+    n, h4, w4, _ = x.shape
+    halo = DECODER_HALO4
+    nbh = ch // 4 + 2 * halo
+    nbw = cw // 4 + 2 * halo
+    # clamped block start (dynamic_slice clamps silently; we need the
+    # actual value for the resize grids and the final trim)
+    sy = jnp.clip(y0 // 4 - halo, 0, h4 - nbh)
+    sx = jnp.clip(x0 // 4 - halo, 0, w4 - nbw)
+    blk = jax.lax.dynamic_slice(x, (0, sy, sx, 0), (n, nbh, nbw, x.shape[3]))
+
+    v = resize_2x_window(blk, sy, sx, h4, w4)
+    v = leaky_relu(pconv2d(p, "decoder.0.conv", v, padding=(1, 1)), 0.2)
+    v = leaky_relu(pconv2d(p, "decoder.2", v, padding=(1, 1)), 0.2)
+    v = resize_2x_window(v, 2 * sy, 2 * sx, 2 * h4, 2 * w4)
+    v = leaky_relu(pconv2d(p, "decoder.4.conv", v, padding=(1, 1)), 0.2)
+    v = pconv2d(p, "decoder.6", v, padding=(1, 1))
+    return jax.lax.dynamic_slice(
+        v, (0, y0 - 4 * sy, x0 - 4 * sx, 0), (n, ch, cw, v.shape[3])
+    )
 
 
 # ------------------------------------------------- deformable alignment
@@ -387,8 +433,13 @@ def inpaint_generator_from_features(
     ori_hw: tuple[int, int],
     l_t_valid=None,
     ref_valid=None,
+    crop=None,
 ) -> jnp.ndarray:
     """InpaintGenerator.forward from precomputed per-frame features.
+
+    crop (optional): (y0, x0, ch, cw) with y0/x0 traced full-res offsets
+    and ch/cw static — decode only that full-res window (decoder_crop;
+    exact). Returns [B, l_t, ch, cw, 3] instead of the full frames.
 
     Everything after the encoder / input downsampling of the reference
     forward (model/propainter.py:358-453): feature propagation over local
@@ -471,6 +522,10 @@ def inpaint_generator_from_features(
     )
 
     local = constrain_h(enc_feat[:, :l_t].reshape(b * l_t, h, w, CHANNEL), 1)
+    if crop is not None:
+        y0, x0, chh, cww = crop
+        out = decoder_crop(p, local, y0, x0, chh, cww)
+        return jnp.tanh(out).reshape(b, l_t, chh, cww, 3)
     out = decoder(p, local)
     return jnp.tanh(out).reshape(b, l_t, ori_h, ori_w, 3)
 

@@ -294,12 +294,15 @@ def lookup_corr(pyramid, coords: jnp.ndarray, padded: bool = True) -> jnp.ndarra
                 jnp.stack([q[3] for q in per]),
             )  # [NHW, 4, 9(dy), 9(dx)]
         else:
-            # MXU formulation: the row/column window selection + shared
-            # bilinear weights ARE a pair of (2-nonzero-per-row) one-hot
-            # contractions — no gather at all. 3x faster than the
-            # per-pixel-DMA kernel on v5e (gather granularity is what
-            # TPUs hate; matmuls are what they love). Runs at the same
-            # default matmul precision as every other conv in the model.
+            # MXU/VPU formulation: the row/column window selection +
+            # shared bilinear weights ARE a pair of (2-nonzero-per-row)
+            # one-hot contractions — no gather at all. A tiled Pallas
+            # lookup with VMEM-resident maps (one HBM pass) was built
+            # and measured 6x SLOWER in round 4: at the TILE=128 forced
+            # by the 16MB scoped-vmem stack, its per-tap [128, 80] VPU
+            # reductions are too small to utilize the vector unit — the
+            # einsum form's big fused elementwise passes win despite
+            # re-reading the volume.
             std4 = jnp.stack(
                 [
                     _window_lookup_einsum(p_, *q)

@@ -270,7 +270,7 @@ class ProPainterInpaint:
             if frames_r is not None and masks_r is not None:
                 masks_bin = masks_r != 0
                 crop = _mask_crop_plan(masks_bin, ph, pw, pad)
-                comp_crop, fm_bits, md_bits = pipe.process_node(
+                packed = pipe.process_node(
                     jnp.asarray(frames_r),
                     jnp.asarray(np.packbits(masks_bin, axis=-1)),
                     crop,
@@ -289,7 +289,7 @@ class ProPainterInpaint:
                 )
                 approx = (masks_u8 != 0)[:, iy][:, :, ix]
                 crop = _mask_crop_plan(approx, ph, pw, pad + 4)
-                comp_crop, fm_bits, md_bits = pipe.process_node(
+                packed = pipe.process_node(
                     jnp.asarray(frames_u8),
                     jnp.asarray(masks_u8),
                     crop,
@@ -297,7 +297,12 @@ class ProPainterInpaint:
                     mask_resize=(h_in, w_in),
                 )
             y0, x0, chh, cww = crop
-            crop_np = np.asarray(comp_crop).astype(np.float32) / 255.0
+            # ONE fetch for everything the host needs (tunnel round
+            # trips are ~35ms each; see Pipeline.process_node)
+            comp_crop, fm_bits, md_bits = Pipeline.unpack_node(
+                np.asarray(packed), t, chh, cww
+            )
+            crop_np = comp_crop.astype(np.float32) / 255.0
 
         # paste the crop back over the (host-known) original frames
         if frames_r is not None:
@@ -317,7 +322,7 @@ class ProPainterInpaint:
         def unpack_full(bits) -> np.ndarray:
             full = np.zeros((t, ph, pw), np.float32)
             full[:, y0 : y0 + chh, x0 : x0 + cww] = np.unpackbits(
-                np.asarray(bits), axis=-1, count=cww
+                bits, axis=-1, count=cww
             )
             return full.squeeze()
 

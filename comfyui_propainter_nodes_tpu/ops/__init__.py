@@ -5,7 +5,7 @@ Each module documents which reference native op it replaces
 """
 
 from .warp import grid_sample, flow_warp, fb_consistency_check, coords_grid
-from .resize import resize_bilinear, resize_nearest, upflow8
+from .resize import resize_2x_window, resize_bilinear, resize_nearest, upflow8
 from .patches import unfold, fold, fold_normalizer
 from .pool import max_pool2d, avg_pool2d
 from .conv import (
@@ -27,6 +27,7 @@ __all__ = [
     "flow_warp",
     "fb_consistency_check",
     "coords_grid",
+    "resize_2x_window",
     "resize_bilinear",
     "resize_nearest",
     "upflow8",

@@ -48,17 +48,17 @@ NEG = -1e9
 def _kernel(
     occ_ref,      # [nW] int32 (scalar prefetch)
     lo_ref,       # [nW] int32 (scalar prefetch): latest occupied id <= w
-    q_ref,        # [1, 1, QT, ch]    QT = T*wsz
-    wk_ref,       # [1, 1, QT, ch]    window keys, all T
-    wv_ref,       # [1, 1, QT, ch]
-    rk_ref,       # [1, 1, RL, ch]    rolled keys (t_ind-selected)
-    rv_ref,       # [1, 1, RL, ch]
-    pk_ref,       # [1, 1, PL, ch]    pooled keys (t_ind-selected, per batch)
-    pv_ref,       # [1, 1, PL, ch]
+    q_ref,        # [1, n_head, QT, ch]    QT = T*wsz
+    wk_ref,       # [1, n_head, QT, ch]    window keys, all T
+    wv_ref,       # [1, n_head, QT, ch]
+    rk_ref,       # [1, n_head, RL, ch]    rolled keys (t_ind-selected)
+    rv_ref,       # [1, n_head, RL, ch]
+    pk_ref,       # [1, n_head, PL, ch]    pooled keys (per batch)
+    pv_ref,       # [1, n_head, PL, ch]
     bw_ref,       # [1, 1, QT] f32 additive bias for win keys in branch A
     br_ref,       # [1, 1, RL]
     bp_ref,       # [1, 1, PL]
-    out_ref,      # [1, 1, QT, ch] f32
+    out_ref,      # [1, n_head, QT, ch] f32
     *,
     qt: int,
     rl: int,
@@ -66,8 +66,13 @@ def _kernel(
     ch: int,
     wsz: int,
     k_tile: int,
+    n_head: int,
 ):
-    iw = pl.program_id(1)
+    # ALL heads of one window per grid step: the per-step fixed cost
+    # (grid sequencing + DMA issue) dominated the old (head, window)
+    # grid — 720 tiny steps at the 640x360 shapes; n_head-batching cuts
+    # the step count 4x for the same FLOPs.
+    iw = pl.program_id(0)
     occupied = occ_ref[iw] > 0
     scale = 1.0 / math.sqrt(ch)
 
@@ -75,43 +80,50 @@ def _kernel(
     def _():
         # dot inputs stay in the model compute dtype (bf16 on TPU) with
         # f32 MXU accumulation — same contract as the XLA-fallback
-        # einsums; the flash running stats stay f32
-        q = q_ref[0, 0]  # [QT, ch]
-        m = jnp.full((qt, 1), NEG, jnp.float32)
-        l = jnp.zeros((qt, 1), jnp.float32)
-        acc = jnp.zeros((qt, ch), jnp.float32)
+        # einsums; the flash running stats stay f32. Heads run in ONE
+        # fori_loop body (an unrolled head loop would give every head's
+        # MXU intermediates their own VMEM stack slot and blow the 16MB
+        # scoped-vmem limit, like the deform kernel's g-loop).
+        def head_body(h, carry):
+            q = q_ref[0, h]  # [QT, ch]
+            m = jnp.full((qt, 1), NEG, jnp.float32)
+            l = jnp.zeros((qt, 1), jnp.float32)
+            acc = jnp.zeros((qt, ch), jnp.float32)
 
-        def tile(kref, vref, bref, s0, sl, m, l, acc):
-            ks = kref[0, 0, s0 : s0 + sl, :]
-            vs = vref[0, 0, s0 : s0 + sl, :]
-            bias = bref[0, 0, s0 : s0 + sl]
-            s = (
-                jax.lax.dot_general(
-                    q, ks, (((1,), (1,)), ((), ())),
+            def tile(kref, vref, bref, s0, sl, m, l, acc):
+                ks = kref[0, h, s0 : s0 + sl, :]
+                vs = vref[0, h, s0 : s0 + sl, :]
+                bias = bref[0, 0, s0 : s0 + sl]
+                s = (
+                    jax.lax.dot_general(
+                        q, ks, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    * scale
+                    + bias[None, :]
+                )  # [QT, sl]
+                m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+                alpha = jnp.exp(m - m_new)
+                p = jnp.exp(s - m_new)
+                l = l * alpha + jnp.sum(p, axis=1, keepdims=True)
+                acc = acc * alpha + jax.lax.dot_general(
+                    p.astype(vs.dtype), vs, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
-                * scale
-                + bias[None, :]
-            )  # [QT, sl]
-            m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
-            alpha = jnp.exp(m - m_new)
-            p = jnp.exp(s - m_new)
-            l = l * alpha + jnp.sum(p, axis=1, keepdims=True)
-            acc = acc * alpha + jax.lax.dot_general(
-                p.astype(vs.dtype), vs, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            return m_new, l, acc
+                return m_new, l, acc
 
-        for kref, vref, bref, seg_len in (
-            (wk_ref, wv_ref, bw_ref, qt),
-            (rk_ref, rv_ref, br_ref, rl),
-            (pk_ref, pv_ref, bp_ref, pl_len),
-        ):
-            for s0 in range(0, seg_len, k_tile):
-                sl = min(k_tile, seg_len - s0)
-                m, l, acc = tile(kref, vref, bref, s0, sl, m, l, acc)
-        out_ref[0, 0] = (acc / l).astype(out_ref.dtype)
+            for kref, vref, bref, seg_len in (
+                (wk_ref, wv_ref, bw_ref, qt),
+                (rk_ref, rv_ref, br_ref, rl),
+                (pk_ref, pv_ref, bp_ref, pl_len),
+            ):
+                for s0 in range(0, seg_len, k_tile):
+                    sl = min(k_tile, seg_len - s0)
+                    m, l, acc = tile(kref, vref, bref, s0, sl, m, l, acc)
+            out_ref[0, h] = (acc / l).astype(out_ref.dtype)
+            return carry
+
+        jax.lax.fori_loop(0, n_head, head_body, 0)
 
     @pl.when(jnp.logical_not(occupied))
     def _():
@@ -124,21 +136,26 @@ def _kernel(
         # OCCUPIED window's blocks (possibly another batch row) so their
         # DMA is skipped for clean windows.
         t = qt // wsz
-        qb = q_ref[0, 0].reshape(t, wsz, ch)
-        kb = wk_ref[0, 0].reshape(t, wsz, ch)
-        vb = wv_ref[0, 0].reshape(t, wsz, ch)
-        s = (
-            jax.lax.dot_general(
-                qb, kb, (((2,), (2,)), ((0,), (0,))),
+
+        def head_body(h, carry):
+            qb = q_ref[0, h].reshape(t, wsz, ch)
+            kb = wk_ref[0, h].reshape(t, wsz, ch)
+            vb = wv_ref[0, h].reshape(t, wsz, ch)
+            s = (
+                jax.lax.dot_general(
+                    qb, kb, (((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )
+                * scale
+            )  # [t, wsz, wsz]
+            p = jax.nn.softmax(s, axis=-1)
+            out_ref[0, h] = jax.lax.dot_general(
+                p.astype(vb.dtype), vb, (((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
-            )
-            * scale
-        )  # [t, wsz, wsz]
-        p = jax.nn.softmax(s, axis=-1)
-        out_ref[0, 0] = jax.lax.dot_general(
-            p.astype(vb.dtype), vb, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ).reshape(qt, ch).astype(out_ref.dtype)
+            ).reshape(qt, ch).astype(out_ref.dtype)
+            return carry
+
+        jax.lax.fori_loop(0, n_head, head_body, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("n_win_per_b", "k_tile"))
@@ -170,13 +187,9 @@ def window_attention_pallas(
     occ_i = occ.astype(jnp.int32)
 
     kern = functools.partial(
-        _kernel, qt=qt, rl=rl, pl_len=pl_len, ch=ch, wsz=wsz, k_tile=k_tile
+        _kernel, qt=qt, rl=rl, pl_len=pl_len, ch=ch, wsz=wsz, k_tile=k_tile,
+        n_head=n_head,
     )
-    # windows iterate FASTEST (last grid dim) so the pooled block —
-    # indexed by (batch, head) only — stays resident across a batch row
-    per_win = lambda h, w, occ_: (w, h, 0, 0)
-    shared = lambda h, w, occ_: (w // n_win_per_b, h, 0, 0)
-    bias1d = lambda h, w, occ_: (w // n_win_per_b, 0, 0)
     # rolled K/V are read ONLY by the occupied branch; for clean windows
     # the occupancy-dependent index map pins their block index in place,
     # so Pallas's same-index revisit caching skips the DMA entirely.
@@ -192,32 +205,38 @@ def window_attention_pallas(
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(n_head, n_win),
+        grid=(n_win,),
         in_specs=[
-            pl.BlockSpec((1, 1, qt, ch), lambda h, w, occ_, lo_: (w, h, 0, 0)),
-            pl.BlockSpec((1, 1, qt, ch), lambda h, w, occ_, lo_: (w, h, 0, 0)),
-            pl.BlockSpec((1, 1, qt, ch), lambda h, w, occ_, lo_: (w, h, 0, 0)),
-            pl.BlockSpec((1, 1, rl, ch), lambda h, w, occ_, lo_: (lo_[w], h, 0, 0)),
-            pl.BlockSpec((1, 1, rl, ch), lambda h, w, occ_, lo_: (lo_[w], h, 0, 0)),
+            pl.BlockSpec((1, n_head, qt, ch), lambda w, occ_, lo_: (w, 0, 0, 0)),
+            pl.BlockSpec((1, n_head, qt, ch), lambda w, occ_, lo_: (w, 0, 0, 0)),
+            pl.BlockSpec((1, n_head, qt, ch), lambda w, occ_, lo_: (w, 0, 0, 0)),
             pl.BlockSpec(
-                (1, 1, pl_len, ch),
-                lambda h, w, occ_, lo_: (w // n_win_per_b, h, 0, 0),
+                (1, n_head, rl, ch), lambda w, occ_, lo_: (lo_[w], 0, 0, 0)
             ),
             pl.BlockSpec(
-                (1, 1, pl_len, ch),
-                lambda h, w, occ_, lo_: (w // n_win_per_b, h, 0, 0),
+                (1, n_head, rl, ch), lambda w, occ_, lo_: (lo_[w], 0, 0, 0)
             ),
             pl.BlockSpec(
-                (1, 1, qt), lambda h, w, occ_, lo_: (w // n_win_per_b, 0, 0)
+                (1, n_head, pl_len, ch),
+                lambda w, occ_, lo_: (w // n_win_per_b, 0, 0, 0),
             ),
             pl.BlockSpec(
-                (1, 1, rl), lambda h, w, occ_, lo_: (w // n_win_per_b, 0, 0)
+                (1, n_head, pl_len, ch),
+                lambda w, occ_, lo_: (w // n_win_per_b, 0, 0, 0),
             ),
             pl.BlockSpec(
-                (1, 1, pl_len), lambda h, w, occ_, lo_: (w // n_win_per_b, 0, 0)
+                (1, 1, qt), lambda w, occ_, lo_: (w // n_win_per_b, 0, 0)
+            ),
+            pl.BlockSpec(
+                (1, 1, rl), lambda w, occ_, lo_: (w // n_win_per_b, 0, 0)
+            ),
+            pl.BlockSpec(
+                (1, 1, pl_len), lambda w, occ_, lo_: (w // n_win_per_b, 0, 0)
             ),
         ],
-        out_specs=pl.BlockSpec((1, 1, qt, ch), lambda h, w, occ_, lo_: (w, h, 0, 0)),
+        out_specs=pl.BlockSpec(
+            (1, n_head, qt, ch), lambda w, occ_, lo_: (w, 0, 0, 0)
+        ),
     )
     kk = qt + rl + pl_len
     out = pl.pallas_call(

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import functools
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -62,21 +63,120 @@ def _nearest_indices(in_size: int, out_size: int):
     return np.clip(idx.astype(np.int64), 0, in_size - 1)
 
 
+@functools.lru_cache(maxsize=256)
+def _phase_plan(in_size: int, out_size: int, align_corners: bool, nearest: bool):
+    """Phase-strided decomposition of the 1-D resize gather.
+
+    XLA's TPU gather runs at ~130 GB/s (6x below HBM peak) and a
+    lane-axis (W) take is worse still — the decoder's two 2x upsamples
+    alone cost ~88 ms of the feature stage at 640x360. But resize
+    indices are STRUCTURED: writing j = P*k + p with P = out/gcd,
+    S = in/gcd, the source index i0[j] equals k*S + delta for a small
+    set of per-phase deltas (2-3 including edge clamps). Each (phase,
+    delta) term is then a STATIC strided slice * a per-k weight vector
+    — no gather at all, pure slices/multiplies/interleave, exact to the
+    last bit vs the take-based form.
+
+    Returns (P, S, g, pad_lo, pad_hi, terms) with terms =
+    [(p, delta, weights[g])...]; weights fold both taps' contributions
+    that land on the same source row.
+    """
+    import math
+
+    if nearest:
+        i0 = _nearest_indices(in_size, out_size)
+        i1 = i0
+        w1 = np.zeros(out_size, np.float64)
+    else:
+        i0, i1, w1 = _linear_taps(in_size, out_size, align_corners)
+    w1 = w1.astype(np.float64)
+    w0 = 1.0 - w1
+
+    gcd = math.gcd(in_size, out_size)
+    P = out_size // gcd
+    S = in_size // gcd
+    g = gcd  # outputs per phase
+
+    terms: list = []
+    min_d, max_d = 0, 0
+    for p in range(P):
+        js = np.arange(g) * P + p
+        ks = np.arange(g)
+        contrib: dict = {}
+        for idx, wgt in ((i0[js], w0[js]), (i1[js], w1[js])):
+            deltas = idx - ks * S
+            for d in np.unique(deltas):
+                sel = deltas == d
+                vec = contrib.setdefault(int(d), np.zeros(g, np.float64))
+                vec[sel] += wgt[sel]
+        for d, vec in sorted(contrib.items()):
+            if not np.any(vec):
+                continue
+            terms.append((p, d, vec.astype(np.float32)))
+            min_d = min(min_d, d)
+            max_d = max(max_d, d)
+    pad_lo = max(0, -min_d)
+    pad_hi = max(0, (g - 1) * S + max_d - (in_size - 1))
+    return P, S, g, pad_lo, pad_hi, terms
+
+
+def _axis_resize_phases(v, in_size: int, out_size: int, axis: int, plan):
+    """Apply a _phase_plan along `axis`: strided slices + weighted sum
+    per phase, interleave phases. All ops static; exact."""
+    P, S, g, pad_lo, pad_hi, terms = plan
+    dt = v.dtype
+    if pad_lo or pad_hi:
+        pads = [(0, 0)] * v.ndim
+        pads[axis] = (pad_lo, pad_hi)
+        v = jnp.pad(v, pads)
+
+    def slc(delta):
+        start = [0] * v.ndim
+        stop = list(v.shape)
+        strides = [1] * v.ndim
+        start[axis] = delta + pad_lo
+        stop[axis] = delta + pad_lo + (g - 1) * S + 1
+        strides[axis] = S
+        return jax.lax.slice(v, start, stop, strides)
+
+    # cache slices by delta (phases share them)
+    slices: dict = {}
+    wshape = [1] * v.ndim
+    wshape[axis] = g
+    phase_outs = [None] * P
+    for p, d, vec in terms:
+        if d not in slices:
+            slices[d] = slc(d)
+        term = slices[d] * jnp.asarray(vec, dt).reshape(wshape)
+        phase_outs[p] = term if phase_outs[p] is None else phase_outs[p] + term
+    # interleave: stack phases on a new axis right after `axis`, then
+    # merge [g, P] -> out_size
+    stacked = jnp.stack(phase_outs, axis=axis + 1)  # [..., g, P, ...]
+    out_shape = list(stacked.shape)
+    out_shape[axis : axis + 2] = [g * P]
+    return stacked.reshape(out_shape)
+
+
 def resize_bilinear(
     x: jnp.ndarray, out_h: int, out_w: int, align_corners: bool = False
 ) -> jnp.ndarray:
-    """Bilinear resize of [..., H, W, C] to [..., out_h, out_w, C]."""
+    """Bilinear resize of [..., H, W, C] to [..., out_h, out_w, C].
+
+    Exact torch `F.interpolate` semantics (both align_corners
+    conventions). Lowered as phase-strided static slices + weighted
+    interleave per axis (see _phase_plan) — no gathers; falls back to
+    the 2-tap take form only when a phase plan would be degenerate
+    (>4 terms per phase, i.e. pathological in/out ratios)."""
     h, w = x.shape[-3], x.shape[-2]
     if (h, w) == (out_h, out_w):
         return x
     dt = x.dtype
 
-    # 2-tap separable lerp with STATIC index tables: two takes + one
-    # fused blend per axis (~3 passes over the data). The previous dense
-    # [out, in] matmul form multiplied every output row by the whole
-    # input axis — ~35 TFLOP of structural zeros for one decoder 2x
-    # upsample at pipeline shapes.
     def axis_lerp(v, size_in, size_out, axis):
+        plan = _phase_plan(size_in, size_out, align_corners, nearest=False)
+        P, S, g, _, _, terms = plan
+        if len(terms) <= 4 * P:  # ≤4 shift terms per phase: slice form
+            return _axis_resize_phases(v, size_in, size_out, axis, plan)
         i0, i1, w1 = _linear_taps(size_in, size_out, align_corners)
         v0 = jnp.take(v, jnp.asarray(i0), axis=axis)
         v1 = jnp.take(v, jnp.asarray(i1), axis=axis)
@@ -90,15 +190,23 @@ def resize_bilinear(
 
 
 def resize_nearest(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
-    """Nearest-neighbour resize of [..., H, W, C] (torch 'nearest' convention)."""
+    """Nearest-neighbour resize of [..., H, W, C] (torch 'nearest'
+    convention), phase-strided like resize_bilinear."""
     h, w = x.shape[-3], x.shape[-2]
     if (h, w) == (out_h, out_w):
         return x
-    iy = jnp.asarray(_nearest_indices(h, out_h))
-    ix = jnp.asarray(_nearest_indices(w, out_w))
-    x = jnp.take(x, iy, axis=-3)
-    x = jnp.take(x, ix, axis=-2)
-    return x
+
+    def axis_near(v, size_in, size_out, axis):
+        plan = _phase_plan(size_in, size_out, False, nearest=True)
+        P, S, g, _, _, terms = plan
+        if len(terms) <= 2 * P:
+            return _axis_resize_phases(v, size_in, size_out, axis, plan)
+        return jnp.take(
+            v, jnp.asarray(_nearest_indices(size_in, size_out)), axis=axis
+        )
+
+    x = axis_near(x, h, out_h, x.ndim - 3)
+    return axis_near(x, w, out_w, x.ndim - 2)
 
 
 def upflow8(flow: jnp.ndarray) -> jnp.ndarray:
@@ -110,3 +218,62 @@ def upflow8(flow: jnp.ndarray) -> jnp.ndarray:
     """
     n, h, w, _ = flow.shape
     return 8.0 * resize_bilinear(flow, 8 * h, 8 * w, align_corners=True)
+
+
+def _axis_phases_window(v, axis: int, plan, k0):
+    """Phase-resize a CROPPED block along `axis` with the FULL image's
+    sampling grid (2x upsample plans only: S == 1).
+
+    v holds input rows [k0, k0 + n) of the full axis (k0 traced); returns
+    output rows [P*k0, P*(k0 + n)) — bit-identical to slicing the
+    full-image resize. The per-phase weight vectors are dynamic slices of
+    the full-plan vectors at k0; boundary deltas read zero-padded block
+    edges whose weights are zero at true image borders (the full plan's
+    clamping is encoded in the weights), and whose pollution otherwise
+    stays within the caller's halo."""
+    P, S, g, _, _, terms = plan
+    assert S == 1, "window resize supports integer upsampling plans only"
+    n = v.shape[axis]
+    deltas = [d for _, d, _ in terms]
+    plo = max(0, -min(deltas))
+    phi = max(0, max(deltas))
+    pads = [(0, 0)] * v.ndim
+    pads[axis] = (plo, phi)
+    vp = jnp.pad(v, pads)
+
+    def slc(delta):
+        start = [0] * v.ndim
+        start[axis] = delta + plo
+        stop = list(vp.shape)
+        stop[axis] = delta + plo + n
+        return jax.lax.slice(vp, start, stop)
+
+    wshape = [1] * v.ndim
+    wshape[axis] = n
+    slices: dict = {}
+    phase_outs = [None] * P
+    for p, d, vec in terms:
+        if d not in slices:
+            slices[d] = slc(d)
+        wt = jax.lax.dynamic_slice(
+            jnp.asarray(vec, v.dtype), (k0,), (n,)
+        ).reshape(wshape)
+        term = slices[d] * wt
+        phase_outs[p] = term if phase_outs[p] is None else phase_outs[p] + term
+    stacked = jnp.stack(phase_outs, axis=axis + 1)
+    out_shape = list(stacked.shape)
+    out_shape[axis : axis + 2] = [n * P]
+    return stacked.reshape(out_shape)
+
+
+def resize_2x_window(
+    x: jnp.ndarray, y0k, x0k, full_h: int, full_w: int,
+    align_corners: bool = True,
+) -> jnp.ndarray:
+    """2x bilinear upsample of block rows [y0k, y0k+n) x cols [x0k, ...)
+    of a full [full_h, full_w] image, on the FULL image's grid (exact —
+    see _axis_phases_window). x: [..., n_h, n_w, C]; y0k/x0k traced."""
+    plan_h = _phase_plan(full_h, 2 * full_h, align_corners, nearest=False)
+    plan_w = _phase_plan(full_w, 2 * full_w, align_corners, nearest=False)
+    x = _axis_phases_window(x, x.ndim - 3, plan_h, y0k)
+    return _axis_phases_window(x, x.ndim - 2, plan_w, x0k)

@@ -121,6 +121,15 @@ def flow_warp(
     return out.reshape(n, h, w, x.shape[-1])
 
 
+# NOTE (round 4): a banded-shift warp (y-pass then x-pass of static
+# zero-fill shifts) was implemented and benchmarked ~6x faster than the
+# gather form — and then removed: the factorization is WRONG for
+# spatially-varying flow (the y-pass resolves row interpolation with the
+# SHIFTED pixel's fy, not the output pixel's). A correct banded form
+# needs the full (2r+1)^2 cross product, which costs more than the
+# gather. Kept as a warning to future optimizers.
+
+
 def fb_consistency_check(
     flow_fw: jnp.ndarray,
     flow_bw: jnp.ndarray,

@@ -722,12 +722,19 @@ class Pipeline:
 
     # ------------------------------------------------------------- stage 4
 
-    def _feature_fn(self, t: int):
+    def _feature_fn(self, t: int, crop_hw: tuple[int, int] | None = None):
         """Pure fn(inpaint_params, updated_frames, updated_masks,
-        masks_dilated, ff, fb, original_frames) -> composed [T, H, W, 3]
-        float 0..255 (uint8-exact). The whole stage — window gathers,
-        batched groups, uint8 composition, overlap blend — is one traced
-        program."""
+        masks_dilated, ff, fb, original_frames[, y0, x0]) -> composed
+        [T, H, W, 3] float 0..255 (uint8-exact). The whole stage —
+        window gathers, batched groups, uint8 composition, overlap
+        blend — is one traced program.
+
+        crop_hw (static (ch, cw), single-device only): decode/composite/
+        blend only the mask-bbox crop at traced offsets (y0, x0) —
+        decoder_crop is exact and the composed video equals the original
+        outside the dilated mask, so the crop carries all information.
+        The full-res decoder tail otherwise dominates the stage's HBM
+        traffic."""
         cfg = self.config
         dt = self.cdtype
         (
@@ -786,21 +793,35 @@ class Pipeline:
 
         def fwd_features(
             prm, enc_sel, ds_ff, ds_fb, ds_mi_sel, ds_mu_sel, pool_sel,
-            md_local, orig_slices, ltv, rfv,
+            md_local, orig_slices, ltv, rfv, crop=None,
         ):
             """Window forward from gathered features + uint8 composite
-            (propainter_inference.py:283-293)."""
+            (propainter_inference.py:283-293). With `crop` ((y0, x0)
+            traced; sizes from crop_hw) everything from the decoder down
+            runs on the mask-bbox window only."""
             pred = pp.inpaint_generator_from_features(
                 prm, enc_sel, ds_ff, ds_fb, ds_mi_sel, ds_mu_sel, pool_sel,
                 l_t_max, orig_slices.shape[2:4],
                 l_t_valid=ltv, ref_valid=rfv,
+                crop=crop,
             )
+            if crop is not None:
+                y0c, x0c, chc, cwc = crop
+                g_ = md_local.shape[0]
+                md_local = jax.lax.dynamic_slice(
+                    md_local, (0, 0, y0c, x0c, 0),
+                    (g_, l_t_max, chc, cwc, 1),
+                )
+                orig_slices = jax.lax.dynamic_slice(
+                    orig_slices, (0, 0, y0c, x0c, 0),
+                    (g_, l_t_max, chc, cwc, 3),
+                )
             pred = pred.astype(jnp.float32)
             pred_byte = jnp.floor((pred + 1.0) / 2.0 * 255.0)
             binary = md_local.astype(jnp.float32)
             return jnp.floor(pred_byte * binary + orig_slices * (1.0 - binary))
 
-        def predict_group_hoisted(prm, args_h, md_p, orig_p, grp):
+        def predict_group_hoisted(prm, args_h, md_p, orig_p, grp, crop=None):
             gathered = gather_group(*args_h, md_p, orig_p, grp)
             if mesh is not None and mp > 1:
                 # model-axis window forward: either H-sharded (SURVEY
@@ -838,7 +859,7 @@ class Pipeline:
                 return self._chunk_mapped(fwd_features, n_batched=10)(
                     prm, *gathered
                 )
-            return fwd_features(prm, *gathered)
+            return fwd_features(prm, *gathered, crop=crop)
 
         def predict_group(prm, uf_p, um_p, md_p, ff_p, fb_p, orig_p, grp):
             """Batched window prediction for a static group of window ids:
@@ -927,7 +948,11 @@ class Pipeline:
             )
 
         def f(prm, updated_frames, updated_masks, masks_dilated, flows_f,
-              flows_b, original_frames):
+              flows_b, original_frames, y0=None, x0=None):
+            crop = None if crop_hw is None else (y0, x0) + tuple(crop_hw)
+            assert crop is None or mesh is None, (
+                "crop decode is a single-device path"
+            )
             updated_frames = updated_frames.astype(dt)
             updated_masks = updated_masks.astype(dt)
             masks_dilated = masks_dilated.astype(dt)
@@ -1029,9 +1054,12 @@ class Pipeline:
                     grp = grp + [grp[-1]] * (group_size - len(grp))
                     if hoist:
                         out = predict_group_hoisted(
-                            prm, args_h, md_p, orig_p, grp
+                            prm, args_h, md_p, orig_p, grp, crop=crop
                         )
                     else:
+                        assert crop is None, (
+                            "crop decode requires the hoisted path"
+                        )
                         out = predict_group(
                             prm, uf_p, um_p, md_p, ff_p, fb_p, orig_p, grp
                         )
@@ -1250,6 +1278,7 @@ class Pipeline:
             self.progress is not None and callbacks_supported(),
             os.environ.get("PROPAINTER_TPU_HOIST", "1"),
             os.environ.get("PROPAINTER_TPU_SEQ"),
+            os.environ.get("PROPAINTER_TPU_CROP_DECODE", "1"),
         )
 
     # ------------------------------------------- streaming chunk programs
@@ -1360,11 +1389,14 @@ class Pipeline:
             return False
         return t <= self.config.subvideo_length and t <= 100
 
-    def _process_fn(self, t: int, hw: tuple[int, int]):
+    def _process_fn(
+        self, t: int, hw: tuple[int, int],
+        crop_hw: tuple[int, int] | None = None,
+    ):
         flow_fn = self._flow_fn(t, hw)
         complete_fn = self._complete_fn(t - 1)
         imgprop_fn = self._imgprop_fn(t)
-        feature_fn = self._feature_fn(t)
+        feature_fn = self._feature_fn(t, crop_hw)
         # optimization_barrier between stages: still ONE dispatch, but
         # XLA's whole-module passes stop optimizing across the stage
         # boundaries. The unbarriered fused module hits superlinear
@@ -1374,12 +1406,14 @@ class Pipeline:
         bar = jax.lax.optimization_barrier if barrier else (lambda x: x)
 
         def f(raft_prm, flow_prm, inpaint_prm, frames_norm, flow_masks,
-              masks_dilated, original_frames):
+              masks_dilated, original_frames, y0=None, x0=None):
             gt_f, gt_b = bar(flow_fn(raft_prm, frames_norm))
             pf, pb = bar(complete_fn(flow_prm, gt_f, gt_b, flow_masks))
             uf, um = bar(imgprop_fn(frames_norm, masks_dilated, pf, pb))
+            extra = () if crop_hw is None else (y0, x0)
             return feature_fn(
-                inpaint_prm, uf, um, masks_dilated, pf, pb, original_frames
+                inpaint_prm, uf, um, masks_dilated, pf, pb, original_frames,
+                *extra,
             )
 
         return f
@@ -1436,13 +1470,30 @@ class Pipeline:
             masks_dilated = (binary_dilation(base, md) if md > 0 else base)[
                 ..., None
             ]
-            composed = self._process_fn(t, hw)(
-                raft_prm, flow_prm, inpaint_prm, frames_norm[None],
-                flow_masks[None], masks_dilated[None], byte,
+            # crop-aware feature tail: the decoder/composite/blend run on
+            # the mask-bbox window only (exact; see _feature_fn), so the
+            # program's full-res tail scales with the mask, not the frame
+            use_crop = (
+                self.mesh is None
+                and os.environ.get("PROPAINTER_TPU_HOIST", "1") == "1"
+                and os.environ.get("PROPAINTER_TPU_CROP_DECODE", "1") == "1"
+                # decoder_crop's halo block must fit inside the frame
+                and ch + 4 * pp.DECODER_HALO4 * 2 <= ph
+                and cw + 4 * pp.DECODER_HALO4 * 2 <= pw
             )
-            comp_crop = jax.lax.dynamic_slice(
-                composed, (0, y0, x0, 0), (t, ch, cw, 3)
-            ).astype(jnp.uint8)
+            if use_crop:
+                comp_crop = self._process_fn(t, hw, (ch, cw))(
+                    raft_prm, flow_prm, inpaint_prm, frames_norm[None],
+                    flow_masks[None], masks_dilated[None], byte, y0, x0,
+                ).astype(jnp.uint8)
+            else:
+                composed = self._process_fn(t, hw)(
+                    raft_prm, flow_prm, inpaint_prm, frames_norm[None],
+                    flow_masks[None], masks_dilated[None], byte,
+                )
+                comp_crop = jax.lax.dynamic_slice(
+                    composed, (0, y0, x0, 0), (t, ch, cw, 3)
+                ).astype(jnp.uint8)
             fm_crop = jax.lax.dynamic_slice(
                 flow_masks[..., 0], (0, y0, x0), (t, ch, cw)
             )
@@ -1451,7 +1502,12 @@ class Pipeline:
             )
             fm_bits = jnp.packbits((fm_crop > 0).astype(jnp.uint8), axis=-1)
             md_bits = jnp.packbits((md_crop > 0).astype(jnp.uint8), axis=-1)
-            return comp_crop, fm_bits, md_bits
+            # ONE packed uint8 buffer: each device->host fetch pays ~35ms
+            # of tunnel round-trip on top of the ~25-35 MB/s download;
+            # three separate arrays tripled that fixed cost
+            return jnp.concatenate(
+                [comp_crop.ravel(), fm_bits.ravel(), md_bits.ravel()]
+            )
 
         return f
 
@@ -1505,7 +1561,9 @@ class Pipeline:
             )
             fm_bits = jnp.packbits((fm_crop > 0).astype(jnp.uint8), axis=-1)
             md_bits = jnp.packbits((md_crop > 0).astype(jnp.uint8), axis=-1)
-            return comp_crop, fm_bits, md_bits
+            return jnp.concatenate(
+                [comp_crop.ravel(), fm_bits.ravel(), md_bits.ravel()]
+            )
 
         return f
 
@@ -1658,8 +1716,11 @@ class Pipeline:
         crop: (y0, x0, ch, cw) — the mask bounding box grown by the
         dilation radius, bucketed; ch/cw are static, y0/x0 traced.
         dilates: (flow_mask_dilates, mask_dilates).
-        Returns (composed_crop_u8 [T,ch,cw,3], flow_mask_bits, dilated_
-        mask_bits [T,ch,cw//8]) — device arrays; fetch with np.asarray.
+        Returns ONE packed uint8 device array = [composed_crop
+        [T,ch,cw,3] ++ flow_mask_bits ++ dilated_mask_bits
+        [T,ch,cw//8]], raveled — fetch with np.asarray once and split
+        with `unpack_node` (a single fetch avoids paying the tunnel
+        round-trip three times).
         """
         t = frames_u8.shape[0]
         if mask_resize is None:
@@ -1703,6 +1764,18 @@ class Pipeline:
             lambda: self._finalize_fn(t, (ch, cw)),
         )
         return fin(composed, flow_masks[None], masks_dilated[None], y0, x0)
+
+    @staticmethod
+    def unpack_node(packed: np.ndarray, t: int, ch: int, cw: int):
+        """Split a fetched process_node buffer into (composed_crop_u8,
+        flow_mask_bits, dilated_mask_bits)."""
+        n1 = t * ch * cw * 3
+        n2 = t * ch * (cw // 8)
+        return (
+            packed[:n1].reshape(t, ch, cw, 3),
+            packed[n1 : n1 + n2].reshape(t, ch, cw // 8),
+            packed[n1 + n2 :].reshape(t, ch, cw // 8),
+        )
 
     def process(self, frames_norm, flow_masks, masks_dilated, original_frames):
         """Full process_inpainting + feature_propagation

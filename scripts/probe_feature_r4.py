@@ -116,8 +116,11 @@ fp = jax.jit(
         pipe.inpaint_params, e[:, :l_t_max], f1, f2, m
     )
 )
-timed("  part: feature bidir prop (deform, 11 frames x 5 win)",
-      lambda: fp(enc_sel, ds_ff, ds_ff, prop_in))
+try:
+    timed("  part: feature bidir prop (deform, 11 frames x 5 win)",
+          lambda: fp(enc_sel, ds_ff, ds_ff, prop_in))
+except Exception as e:
+    print(f"  part: feature bidir prop FAILED: {str(e)[:160]}")
 
 t_sel = l_t_max + ref_max
 ss = jax.jit(

@@ -112,3 +112,34 @@ def test_full_forward_parity(torch_model, jax_params):
     )
     assert ours.shape == ref.shape == (b, l_t, h, w, 3)
     np.testing.assert_allclose(ours, ref, atol=2e-3, rtol=1e-2)
+
+
+def test_decoder_crop_matches_full_decode(jax_params):
+    """decoder_crop == cropping the full decoder output, for interior
+    and border crops (the crop-aware node tail depends on this: halo +
+    full-grid window resizes + trim must be exact)."""
+    import jax
+    import jax.numpy as jnp
+
+    from comfyui_propainter_nodes_tpu.models.propainter import (
+        decoder, decoder_crop,
+    )
+
+    rng = np.random.default_rng(9)
+    h4, w4 = 24, 40  # full-res 96 x 160
+    x = jnp.asarray(
+        rng.standard_normal((2, h4, w4, 128)).astype(np.float32) * 0.1
+    )
+    full = np.asarray(decoder(jax_params, x))
+    for (y0, x0, ch, cw) in [
+        (32, 64, 32, 64), (0, 0, 32, 32), (64, 96, 32, 64),
+        (8, 8, 64, 96), (3, 5, 32, 32),  # unaligned offsets
+    ]:
+        out = np.asarray(
+            decoder_crop(
+                jax_params, x, jnp.asarray(y0), jnp.asarray(x0), ch, cw
+            )
+        )
+        np.testing.assert_allclose(
+            out, full[:, y0 : y0 + ch, x0 : x0 + cw], atol=1e-5, rtol=1e-5
+        )
