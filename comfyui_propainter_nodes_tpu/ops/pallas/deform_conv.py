@@ -42,67 +42,79 @@ BAND = 24  # y-rows per band
 
 
 def _kernel(
-    lo_ref, hi_ref, sy_ref, sx_ref, mask_ref, x_ref, w_ref, out_ref, *, h, w, cg, g, k
+    lo_ref, hi_ref, sy_ref, sx_ref, mask_ref, x_ref, w_ref, out_ref, *, h, w, cg, g, k,
+    tile,
 ):
-    cols_t = jax.lax.broadcasted_iota(jnp.int32, (w, TILE), 0).astype(jnp.float32)
+    """Grid: (n, n_tiles, n_gb) — gb (deform-group blocks) iterates
+    FASTEST so the out block is revisited consecutively and accumulates
+    in VMEM across group blocks (g-blocking halves the x block, which
+    dominates the kernel's scoped-VMEM budget for f32 operands)."""
+    cols_t = jax.lax.broadcasted_iota(jnp.int32, (w, tile), 0).astype(jnp.float32)
     n_bands = -(-h // BAND)
+    ni = pl.program_id(0)
+    pt = pl.program_id(1)
+    gb = pl.program_id(2)
 
-    def band_body(start, bsz, accumulate):
+    def band_body(start, bsz):
         # single fori_loop body over (g, k): an unrolled loop would give
         # every iteration's MXU output its own VMEM stack slot (144 x
         # ~128 KB blows the 16 MB scoped-vmem limit)
         rows_t = (
-            jax.lax.broadcasted_iota(jnp.int32, (bsz, TILE), 0) + start
+            jax.lax.broadcasted_iota(jnp.int32, (bsz, tile), 0) + start
         ).astype(jnp.float32)
 
         def g_body(gi, acc):
             # k unrolled (9 iterations pipeline the MXU); g looped so the
             # per-iteration buffers don't multiply by 144
-            xg_m = x_ref[pl.ds(gi, 1), pl.ds(start, bsz)].reshape(bsz * cg, w)
+            xg_m = x_ref[0, 0, pl.ds(gi, 1), pl.ds(start, bsz)].reshape(
+                bsz * cg, w
+            )
             for ki in range(k):
-                sy = sy_ref[pl.ds(gi, 1), ki, 0].reshape(1, TILE)
-                sx = sx_ref[pl.ds(gi, 1), ki, 0].reshape(1, TILE)
-                m = mask_ref[pl.ds(gi, 1), ki, 0].reshape(1, TILE)
+                sy = sy_ref[0, 0, pl.ds(gi, 1), ki, 0].reshape(1, tile)
+                sx = sx_ref[0, 0, pl.ds(gi, 1), ki, 0].reshape(1, tile)
+                m = mask_ref[0, 0, pl.ds(gi, 1), ki, 0].reshape(1, tile)
                 # tent weights ARE the bilinear kernel: rows/cols floor(s)
                 # and floor(s)+1 get (1-frac, frac), everything else
                 # (incl. fully out-of-bounds taps and the -10 pixel
                 # padding) gets exact 0
-                ox_t = jnp.maximum(1.0 - jnp.abs(cols_t - sx), 0.0)  # [w, TILE]
-                oy_t = jnp.maximum(1.0 - jnp.abs(rows_t - sy), 0.0)  # [bsz, TILE]
+                ox_t = jnp.maximum(1.0 - jnp.abs(cols_t - sx), 0.0)  # [w, tile]
+                oy_t = jnp.maximum(1.0 - jnp.abs(rows_t - sy), 0.0)  # [bsz, tile]
                 tmp_t = jnp.dot(
                     xg_m, ox_t.astype(xg_m.dtype), preferred_element_type=jnp.float32
-                )  # [bsz*cg, TILE]
+                )  # [bsz*cg, tile]
                 s_t = jnp.sum(
-                    tmp_t.reshape(bsz, cg, TILE) * oy_t[:, None, :], axis=0
-                )  # [cg, TILE]
+                    tmp_t.reshape(bsz, cg, tile) * oy_t[:, None, :], axis=0
+                )  # [cg, tile]
                 s_t = s_t * m
-                wk_t = w_ref[pl.ds(gi, 1), ki].reshape(
-                    out_ref.shape[0], cg
+                wk_t = w_ref[0, pl.ds(gi, 1), ki].reshape(
+                    out_ref.shape[1], cg
                 ).astype(jnp.float32)
                 acc = acc + jnp.dot(wk_t, s_t, preferred_element_type=jnp.float32)
             return acc
 
         acc = jax.lax.fori_loop(
-            0, g, g_body, jnp.zeros((out_ref.shape[0], TILE), jnp.float32)
+            0, g, g_body, jnp.zeros((out_ref.shape[1], tile), jnp.float32)
         )
-        out_ref[...] = out_ref[...] + acc if accumulate else acc
+        out_ref[0] = out_ref[0] + acc
+
+    @pl.when(gb == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
 
     if n_bands == 1:
-        band_body(0, h, accumulate=False)
+        band_body(0, h)
         return
 
     # row range actually sampled by this tile (reduced outside, in XLA);
     # iterate only the bands inside it — ONE loop body instance, so the
     # kernel's VMEM stack does not scale with the band count
-    pt = pl.program_id(0)
-    lo = lo_ref[pt, 0]
-    hi = hi_ref[pt, 0]
+    lo = lo_ref[ni, pt, 0]
+    hi = hi_ref[ni, pt, 0]
     b0 = jnp.maximum(lo // BAND, 0)
     b1 = jnp.minimum(hi // BAND + 1, n_bands)
-    out_ref[...] = jnp.zeros_like(out_ref)
 
     def loop_body(b, carry):
-        band_body(b * BAND, BAND, accumulate=True)
+        band_body(b * BAND, BAND)
         return carry
 
     jax.lax.fori_loop(b0, b1, loop_body, 0)
@@ -130,6 +142,10 @@ def deform_conv2d_pallas(
     g = offset.shape[3]
     cg = cin // g
     hw = h * w
+    # f32 operands double the kernel's per-iteration VMEM stack (the k=9
+    # unrolled intermediates); halve the pixel tile to stay inside the
+    # 16MB scoped-vmem limit
+    tile = TILE if x.dtype == jnp.bfloat16 else TILE // 2
 
     # sampling coords per (g, k, pixel): base grid + tap + offset
     gy, gx = jnp.meshgrid(
@@ -151,17 +167,17 @@ def deform_conv2d_pallas(
     sx = sx.transpose(0, 3, 4, 1, 2).reshape(n, g, k, hw)
     mk = mask.astype(jnp.float32).transpose(0, 3, 4, 1, 2).reshape(n, g, k, hw)
 
-    n_tiles = -(-hw // TILE)
-    hw_pad = n_tiles * TILE
+    n_tiles = -(-hw // tile)
+    hw_pad = n_tiles * tile
     if hw_pad != hw:
         padp = ((0, 0), (0, 0), (0, 0), (0, hw_pad - hw))
         sy = jnp.pad(sy, padp, constant_values=-10.0)  # zero tent weight
         sx = jnp.pad(sx, padp, constant_values=-10.0)
         mk = jnp.pad(mk, padp)
     # pixels on LANES: [N, G, K, n_tiles, 1, TILE]
-    sy = sy.reshape(n, g, k, n_tiles, 1, TILE)
-    sx = sx.reshape(n, g, k, n_tiles, 1, TILE)
-    mk = mk.reshape(n, g, k, n_tiles, 1, TILE)
+    sy = sy.reshape(n, g, k, n_tiles, 1, tile)
+    sx = sx.reshape(n, g, k, n_tiles, 1, tile)
+    mk = mk.reshape(n, g, k, n_tiles, 1, tile)
 
     # per-tile sampled row range (drives the kernel's y-band skipping);
     # -10 pixel padding excluded so it never drags lo below 0
@@ -181,39 +197,79 @@ def deform_conv2d_pallas(
         xg = jnp.pad(xg, ((0, 0), (0, 0), (0, h_pad - h), (0, 0), (0, 0)))
     wg = weight.reshape(k, g, cg, cout).transpose(1, 0, 3, 2).astype(jnp.float32)
 
-    grid = (n_tiles,)
-    kern = functools.partial(_kernel, h=h, w=w, cg=cg, g=g, k=k)
+    # the batch is a GRID dimension (not vmap): vmapping the pallas_call
+    # made XLA hold the whole [N, Cout, hw_pad] f32 result as a scoped
+    # VMEM stack allocation, which blows the 16MB limit for N >= ~5 when
+    # the call isn't consumed by a fusion (standalone jit, verify
+    # scripts). As a grid dim each (image, tile) block streams to HBM.
+    # f32 operands double both the x block and the per-iteration stack;
+    # g-blocking (n_gb=2, gb iterating fastest with out-block
+    # accumulation) halves the x block to compensate.
+    n_gb = 1 if x.dtype == jnp.bfloat16 else 2
+    g_blk = g // n_gb if g % n_gb == 0 else g
+    n_gb = g // g_blk
+    grid = (n, n_tiles, n_gb)
+    kern = functools.partial(
+        _kernel, h=h, w=w, cg=cg, g=g_blk, k=k, tile=tile
+    )
     band = min(BAND, h)
 
     from jax.experimental.pallas import tpu as pltpu
 
-    def run_one(xg1, sy1, sx1, mk1, lo1, hi1):
-        return pl.pallas_call(
-            kern,
-            grid=grid,
-            in_specs=[
-                pl.BlockSpec(
-                    (n_tiles, 1), lambda pt: (0, 0), memory_space=pltpu.SMEM
-                ),
-                pl.BlockSpec(
-                    (n_tiles, 1), lambda pt: (0, 0), memory_space=pltpu.SMEM
-                ),
-                pl.BlockSpec((g, k, 1, 1, TILE), lambda pt: (0, 0, pt, 0, 0)),
-                pl.BlockSpec((g, k, 1, 1, TILE), lambda pt: (0, 0, pt, 0, 0)),
-                pl.BlockSpec((g, k, 1, 1, TILE), lambda pt: (0, 0, pt, 0, 0)),
-                pl.BlockSpec((g, h_pad, cg, w), lambda pt: (0, 0, 0, 0)),
-                pl.BlockSpec((g, k, cout, cg), lambda pt: (0, 0, 0, 0)),
-            ],
-            out_specs=pl.BlockSpec((cout, TILE), lambda pt: (0, pt)),
-            out_shape=jax.ShapeDtypeStruct((cout, hw_pad), jnp.float32),
-            cost_estimate=pl.CostEstimate(
-                flops=2 * hw_pad * g * k * (2 * band * cg * w + cg * cout),
-                bytes_accessed=hw_pad * g * k * 12 + g * h * w * cg * 2,
-                transcendentals=0,
-            ),
-        )(lo1, hi1, sy1, sx1, mk1, xg1, wg)
+    sy = sy.reshape(n, n_gb, g_blk, k, n_tiles, 1, tile)
+    sx = sx.reshape(n, n_gb, g_blk, k, n_tiles, 1, tile)
+    mk = mk.reshape(n, n_gb, g_blk, k, n_tiles, 1, tile)
+    xg = xg.reshape(n, n_gb, g_blk, h_pad, cg, w)
+    wg = wg.reshape(n_gb, g_blk, k, cout, cg)
 
-    out = jax.vmap(run_one)(xg, sy, sx, mk, lo_t, hi_t)  # [N, Cout, hw_pad]
+    out = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (n, n_tiles, 1),
+                lambda ni, pt, gb: (0, 0, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec(
+                (n, n_tiles, 1),
+                lambda ni, pt, gb: (0, 0, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, g_blk, k, 1, 1, tile),
+                lambda ni, pt, gb: (ni, gb, 0, 0, pt, 0, 0),
+            ),
+            pl.BlockSpec(
+                (1, 1, g_blk, k, 1, 1, tile),
+                lambda ni, pt, gb: (ni, gb, 0, 0, pt, 0, 0),
+            ),
+            pl.BlockSpec(
+                (1, 1, g_blk, k, 1, 1, tile),
+                lambda ni, pt, gb: (ni, gb, 0, 0, pt, 0, 0),
+            ),
+            pl.BlockSpec(
+                (1, 1, g_blk, h_pad, cg, w),
+                lambda ni, pt, gb: (ni, gb, 0, 0, 0, 0),
+            ),
+            pl.BlockSpec(
+                (1, g_blk, k, cout, cg), lambda ni, pt, gb: (gb, 0, 0, 0, 0)
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, cout, tile), lambda ni, pt, gb: (ni, 0, pt)
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, cout, hw_pad), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * hw_pad * g * k * (2 * band * cg * w + cg * cout),
+            bytes_accessed=n * (hw_pad * g * k * 12 + g * h * w * cg * 2),
+            transcendentals=0,
+        ),
+    )(lo_t, hi_t, sy, sx, mk, xg, wg)
+    # barrier: without it XLA's scoped-vmem assignment tries to keep the
+    # whole custom-call result on the VMEM stack when the call is a jit
+    # entry (standalone use, verify scripts) and OOMs
+    out = jax.lax.optimization_barrier(out)
     out = out[:, :, :hw].transpose(0, 2, 1).reshape(n, h, w, cout)
     if bias is not None:
         out = out + bias.astype(out.dtype)
