@@ -127,32 +127,41 @@ def _kernel(
 
     @pl.when(jnp.logical_not(occupied))
     def _():
-        # per-frame within-window attention: queries of frame t attend the
-        # wsz window keys of the SAME frame only. Batched per-frame
-        # [wsz, wsz] dots — 13x fewer FLOPs than the one [QT, QT] dot
-        # with a block-diagonal mask (t = QT/wsz frames).
+        # per-frame within-window attention: queries of frame t attend
+        # the wsz window keys of the SAME frame only — computed as ONE
+        # [QT, QT] dot with a block-diagonal -inf mask. The batched
+        # per-frame [wsz, wsz] form has 13x fewer FLOPs but decomposes
+        # into t tiny Mosaic dots whose per-dot latency dominates (the
+        # same batched-small-matmul trap as the corr lookup); the single
+        # 585x585 dot is FLOP-heavier and several times faster.
         # INVARIANT: rk_ref/rv_ref MUST NOT be read in this branch — the
         # lo_[w] index map deliberately left them holding the last
         # OCCUPIED window's blocks (possibly another batch row) so their
         # DMA is skipped for clean windows.
         t = qt // wsz
+        fid = jax.lax.broadcasted_iota(jnp.int32, (qt, 1), 0) // wsz
+        blockdiag = (fid == fid.reshape(1, qt)).astype(jnp.float32)
+        bias_bd = (1.0 - blockdiag) * NEG  # 0 on-diagonal, -1e9 off
 
         def head_body(h, carry):
-            qb = q_ref[0, h].reshape(t, wsz, ch)
-            kb = wk_ref[0, h].reshape(t, wsz, ch)
-            vb = wv_ref[0, h].reshape(t, wsz, ch)
+            q = q_ref[0, h]   # [QT, ch]
+            kk = wk_ref[0, h]
+            vv = wv_ref[0, h]
             s = (
                 jax.lax.dot_general(
-                    qb, kb, (((2,), (2,)), ((0,), (0,))),
+                    q, kk, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
                 * scale
-            )  # [t, wsz, wsz]
-            p = jax.nn.softmax(s, axis=-1)
+                + bias_bd
+            )  # [QT, QT]
+            s = s - jnp.max(s, axis=1, keepdims=True)
+            p = jnp.exp(s)
+            p = p / jnp.sum(p, axis=1, keepdims=True)
             out_ref[0, h] = jax.lax.dot_general(
-                p.astype(vb.dtype), vb, (((2,), (1,)), ((0,), (0,))),
+                p.astype(vv.dtype), vv, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ).reshape(qt, ch).astype(out_ref.dtype)
+            ).astype(out_ref.dtype)
             return carry
 
         jax.lax.fori_loop(0, n_head, head_body, 0)

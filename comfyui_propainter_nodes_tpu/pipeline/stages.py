@@ -422,9 +422,38 @@ class Pipeline:
 
             return f
 
+        # batching every RAFT chunk into one call maximizes MXU occupancy
+        # but keeps EVERY pair's [HW/64, HW/64] correlation volume live at
+        # once — fine at 640x360 (~1.2GB bf16 for 46 pairs), catastrophic
+        # at 720p+ (240f/80-chunk streaming: 88 probs x 14400^2 bf16 =
+        # 36.6GB). Past the footprint gate the chunk axis runs as a
+        # SEQUENTIAL lax.map (the reference's own memory strategy,
+        # propainter_inference.py:75-93): one chunk's volumes live at a
+        # time, one compiled body.
+        chunk_probs = 2 * clip
+        chunk_vol = chunk_probs * h8w8 * h8w8 * (
+            2 if cfg.raft_half else 4
+        ) * 1.36
+        total_vol = chunk_vol * len(bounds)
+        seq_budget = float(
+            os.environ.get("PROPAINTER_TPU_RAFT_ALLPAIRS_BYTES", 4.5e9)
+        )
+
         def f(prm, frames):
             batch = chunk_batch(frames)
-            ff, fb = raft.raft_bi_forward(prm, batch, iters=cfg.raft_iter)
+            if total_vol > seq_budget:
+                ff, fb = jax.lax.map(
+                    lambda ck: raft.raft_bi_forward(
+                        prm, ck[None], iters=cfg.raft_iter
+                    ),
+                    batch,
+                )
+                ff = ff[:, 0]
+                fb = fb[:, 0]
+            else:
+                ff, fb = raft.raft_bi_forward(
+                    prm, batch, iters=cfg.raft_iter
+                )
             return unbatch(ff, fb)
 
         return f

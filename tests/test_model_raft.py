@@ -296,3 +296,36 @@ def test_raft_20iter_per_iteration_parity_fp64(torch_raft, monkeypatch):
             f"iter {it}: {d:.3e} breaks the linear fp64 noise envelope; "
             f"full trajectory: {per_iter_diff}"
         )
+
+
+def test_flow_stage_sequential_chunk_map_matches_batched(monkeypatch, jax_params):
+    """Past the correlation-volume footprint gate the flow stage runs its
+    RAFT chunks as a sequential lax.map (720p+ streaming would otherwise
+    materialize every pair's [HW/64]^2 volume at once — 36.6GB at 240f
+    720p). Forcing the gate low must reproduce the batched result."""
+    from comfyui_propainter_nodes_tpu.config import PipelineConfig
+    from comfyui_propainter_nodes_tpu.pipeline.stages import Pipeline
+    from comfyui_propainter_nodes_tpu.utils import weights as wz
+
+    rng = np.random.default_rng(3)
+    t, h, w = 16, 64, 96
+    frames = jnp.asarray(
+        rng.uniform(-1, 1, (1, t, h, w, 3)).astype(np.float32)
+    )
+    cfg = PipelineConfig(raft_iter=2, fp16="disable", process_size=(w, h))
+    params = [
+        wz.get_params(m, allow_random=True)
+        for m in ("raft", "flow_completion", "inpaint_generator")
+    ]
+    # force chunking (t=16 > clip=12) AND the batched form (gate high)
+    monkeypatch.setenv("PROPAINTER_TPU_RAFT_ALLPAIRS_BYTES", "0.1")
+    # gate 0.1 byte: allpairs off AND sequential map on
+    seq = Pipeline(*params, cfg).compute_flow(frames)
+    monkeypatch.setenv("PROPAINTER_TPU_RAFT_ALLPAIRS_BYTES", "1e18")
+    ref = Pipeline(*params, cfg).compute_flow(frames)
+    np.testing.assert_allclose(
+        np.asarray(seq[0]), np.asarray(ref[0]), atol=2e-4, rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(seq[1]), np.asarray(ref[1]), atol=2e-4, rtol=1e-3
+    )
