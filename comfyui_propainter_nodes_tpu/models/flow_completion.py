@@ -19,10 +19,12 @@ Param names follow the torch state dict (utils/checkpoint.py layouts).
 
 from __future__ import annotations
 
+import os
 from typing import Mapping
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops import (
     deform_conv2d,
@@ -41,29 +43,40 @@ DEFORM_GROUPS = 16
 # ------------------------------------------------------------- P3D blocks
 
 
-def _valid_tmask(t: int, t_valid, dtype):
+def _valid_tmask(t: int, t_valid, dtype, t_first=None):
     """Mask of real frames: [1, T] for a scalar count, [B, T] for per-clip
-    [B] counts (clip-parallel chunk batching)."""
+    [B] counts (clip-parallel chunk batching). `t_first` (scalar) marks
+    leading synthetic-padding frames invalid too (temporal halo chunks)."""
     tv = jnp.asarray(t_valid)
     ar = jnp.arange(t)
     if tv.ndim == 0:
-        return (ar < tv).astype(dtype)[None]
-    return (ar[None] < tv[:, None]).astype(dtype)
+        m = (ar < tv).astype(dtype)[None]
+    else:
+        m = (ar[None] < tv[:, None]).astype(dtype)
+    if t_first is not None:
+        m = m * (ar >= jnp.asarray(t_first)).astype(dtype)[None]
+    return m
 
 
-def _p3d(p: Params, pre: str, x: jnp.ndarray, stride: int, t_valid=None) -> jnp.ndarray:
+def _p3d(
+    p: Params, pre: str, x: jnp.ndarray, stride: int, t_valid=None,
+    t_first=None,
+) -> jnp.ndarray:
     """P3DBlock (reference :162-205): (1,k,k) spatial conv + LeakyReLU,
     then (3,1,1) dilated-2 temporal conv. x: [N, T, H, W, C].
 
-    t_valid: with end-padded T, padded frames are re-zeroed before the
-    TEMPORAL conv — spatial convs with biases make padding nonzero, and
-    zeroing restores the reference's zero temporal padding exactly."""
+    t_valid/t_first: frames outside [t_first, t_valid) are re-zeroed
+    before the TEMPORAL conv — spatial convs with biases make padding
+    nonzero, and zeroing restores the reference's zero temporal padding
+    exactly (end-padded sequences AND the leading synthetic halo of
+    temporal chunks)."""
     y = pconv3d(
         p, pre + ".conv1.0", x, stride=(1, stride, stride), padding=(0, 1, 1)
     )
     y = leaky_relu(y, 0.2)
-    if t_valid is not None:
-        tmask = _valid_tmask(y.shape[1], t_valid, y.dtype)
+    if t_valid is not None or t_first is not None:
+        tv = y.shape[1] if t_valid is None else t_valid
+        tmask = _valid_tmask(y.shape[1], tv, y.dtype, t_first)
         y = y * tmask[:, :, None, None, None]
     y = pconv3d(
         p, pre + ".conv2.0", y, padding=(2, 0, 0), dilation=(2, 1, 1)
@@ -211,19 +224,50 @@ def flow_complete_forward(
     b, t, h, w, _ = masked_flows.shape
     inputs = jnp.concatenate([masked_flows, masks], axis=-1)  # [B,T,H,W,3]
 
+    # frame-chunked execution past a full-res-area gate: the conv stacks
+    # hold [B*T, H, W, 32] activations — 10GB bf16 for one 80-frame 720p
+    # subvideo (both directions batched), far past HBM. The encoder's
+    # only cross-frame coupling is its four dilated-2 temporal convs
+    # (RF +-8), so temporal chunks with an 8-frame halo are EXACT; the
+    # decoder is per-frame pure. The propagation core runs un-chunked at
+    # 1/8 res (it is globally recurrent but small).
+    big = h * w > int(
+        os.environ.get("PROPAINTER_TPU_FC_CHUNK_AREA", "400000")
+    ) and (t_valid is None or jnp.asarray(t_valid).ndim == 0)
+
+    if big:
+        e1, mid = _encode_chunked(p, inputs, t_valid)
+    else:
+        e1, mid = _encode(p, inputs, t_valid)
+
+    prop = _bidirectional_propagation(p, mid, t_valid)  # [B, T, H/8, W/8, 128]
+
+    bt = b * t
+    prop2 = prop.reshape(bt, h // 8, w // 8, CHANNEL)
+    e1_2 = e1.reshape(bt, h // 4, w // 4, 64)
+    if big:
+        flow = _decode_chunked(p, prop2, e1_2)
+    else:
+        flow = _decode(p, prop2, e1_2)
+    return flow.reshape(b, t, h, w, 2)
+
+
+def _encode(p: Params, inputs, t_valid, t_first=None):
+    """downsample + P3D encoders + mid dilation: [B,T,H,W,3] ->
+    (e1 [B,T,H/4,W/4,64], mid [B,T,H/8,W/8,128])."""
     # downsample: (1,5,5) s(1,2,2) conv with REPLICATE spatial padding
     xp = jnp.pad(inputs, ((0, 0), (0, 0), (2, 2), (2, 2), (0, 0)), mode="edge")
     x = pconv3d(p, "downsample.0", xp, stride=(1, 2, 2))
     x = leaky_relu(x, 0.2)  # 2x down, 32ch
 
-    e1 = _p3d(p, "encoder1.0", x, 1, t_valid)
+    e1 = _p3d(p, "encoder1.0", x, 1, t_valid, t_first)
     e1 = leaky_relu(e1, 0.2)
-    e1 = _p3d(p, "encoder1.2", e1, 2, t_valid)
+    e1 = _p3d(p, "encoder1.2", e1, 2, t_valid, t_first)
     e1 = leaky_relu(e1, 0.2)  # 4x, 64ch
 
-    e2 = _p3d(p, "encoder2.0", e1, 1, t_valid)
+    e2 = _p3d(p, "encoder2.0", e1, 1, t_valid, t_first)
     e2 = leaky_relu(e2, 0.2)
-    e2 = _p3d(p, "encoder2.2", e2, 2, t_valid)
+    e2 = _p3d(p, "encoder2.2", e2, 2, t_valid, t_first)
     e2 = leaky_relu(e2, 0.2)  # 8x, 128ch
 
     mid = pconv3d(p, "mid_dilation.0", e2, padding=(0, 3, 3), dilation=(1, 3, 3))
@@ -232,12 +276,48 @@ def flow_complete_forward(
     mid = leaky_relu(mid, 0.2)
     mid = pconv3d(p, "mid_dilation.4", mid, padding=(0, 1, 1), dilation=(1, 1, 1))
     mid = leaky_relu(mid, 0.2)
+    return e1, mid
 
-    prop = _bidirectional_propagation(p, mid, t_valid)  # [B, T, H/8, W/8, 128]
 
-    bt = b * t
-    prop2 = prop.reshape(bt, h // 8, w // 8, CHANNEL)
-    e1_2 = e1.reshape(bt, h // 4, w // 4, 64)
+_FC_CHUNK_T = 16
+_FC_HALO = 8  # four dilated-2 temporal convs: receptive field +-8
+
+
+def _encode_chunked(p: Params, inputs, t_valid):
+    """_encode over temporal chunks with +-_FC_HALO halo frames (exact:
+    interior frames see the same taps as the global computation; the
+    halo absorbs the 4 temporal convs' receptive field, and synthetic
+    halo/padding positions are re-zeroed before every temporal conv)."""
+    b, t, h, w, _ = inputs.shape
+    F, HALO = _FC_CHUNK_T, _FC_HALO
+    n_ch = -(-t // F)
+    t_pad = n_ch * F
+    gv = jnp.asarray(t if t_valid is None else t_valid)
+    xg = jnp.pad(
+        inputs, ((0, 0), (HALO, t_pad - t + HALO), (0, 0), (0, 0), (0, 0))
+    )
+    starts = np.arange(n_ch) * F
+    chunks = jnp.stack([xg[:, s : s + F + 2 * HALO] for s in starts])
+    firsts = jnp.maximum(HALO - jnp.asarray(starts), 0)
+    valids = jnp.clip(gv + HALO - jnp.asarray(starts), 0, F + 2 * HALO)
+
+    def enc_one(args):
+        ck, tf, tvld = args
+        e1c, midc = _encode(p, ck, tvld, tf)
+        return e1c[:, HALO : HALO + F], midc[:, HALO : HALO + F]
+
+    e1s, mids = jax.lax.map(enc_one, (chunks, firsts, valids))
+    # [n_ch, B, F, ...] -> [B, n_ch*F, ...] -> [:, :t]
+    def unchunk(a):
+        a = jnp.moveaxis(a, 0, 1)
+        return a.reshape((b, t_pad) + a.shape[3:])[:, :t]
+
+    return unchunk(e1s), unchunk(mids)
+
+
+def _decode(p: Params, prop2, e1_2):
+    """decoder2/decoder1/upsample: per-frame pure.
+    prop2 [BT, H/8, W/8, 128], e1_2 [BT, H/4, W/4, 64] -> [BT, H, W, 2]."""
     d2 = pconv2d(p, "decoder2.0", prop2, padding=(1, 1))
     d2 = leaky_relu(d2, 0.2)
     d2 = _deconv(p, "decoder2.2", d2)
@@ -251,8 +331,22 @@ def flow_complete_forward(
 
     up = pconv2d(p, "upsample.0", d1, padding=(1, 1))
     up = leaky_relu(up, 0.2)
-    flow = _deconv(p, "upsample.2", up)
-    return flow.reshape(b, t, h, w, 2)
+    return _deconv(p, "upsample.2", up)
+
+
+def _decode_chunked(p: Params, prop2, e1_2, chunk: int = 8):
+    """_decode over frame chunks (exact — it is per-frame pure); bounds
+    the full-res activation footprint to `chunk` frames."""
+    bt = prop2.shape[0]
+    n_ch = -(-bt // chunk)
+    pad = n_ch * chunk - bt
+    if pad:
+        prop2 = jnp.concatenate([prop2, prop2[:pad]])
+        e1_2 = jnp.concatenate([e1_2, e1_2[:pad]])
+    pc = prop2.reshape((n_ch, chunk) + prop2.shape[1:])
+    ec = e1_2.reshape((n_ch, chunk) + e1_2.shape[1:])
+    out = jax.lax.map(lambda a: _decode(p, a[0], a[1]), (pc, ec))
+    return out.reshape((n_ch * chunk,) + out.shape[2:])[:bt]
 
 
 def forward_bidirect_flow(
@@ -294,11 +388,26 @@ def forward_bidirect_flow(
             )
             tv2 = jnp.concatenate([tv, tv])
 
+    # past the same full-res-area gate as the chunked encoder, the two
+    # directions run SEQUENTIALLY (exact: the network has no cross-batch
+    # coupling) — batching them doubles every activation at a resolution
+    # where even one direction is GBs
+    h_, w_ = flows_f.shape[2], flows_f.shape[3]
+    seq_dirs = h_ * w_ > int(
+        os.environ.get("PROPAINTER_TPU_FC_CHUNK_AREA", "400000")
+    ) and (t_valid is None or jnp.asarray(t_valid).ndim == 0)
+    tvv = tv2 if t_valid is not None else None
+    if seq_dirs:
+        tv1 = jnp.asarray(t_valid) if t_valid is not None else None
+        pred_f = flow_complete_forward(p, mf, masks_fwd, tv1)
+        pred_b = flip(
+            flow_complete_forward(p, flip(mb), flip(masks_bwd), tv1)
+        )
+        return pred_f, pred_b
+
     batch_flows = jnp.concatenate([mf, flip(mb)], axis=0)
     batch_masks = jnp.concatenate([masks_fwd, flip(masks_bwd)], axis=0)
-    pred = flow_complete_forward(
-        p, batch_flows, batch_masks, tv2 if t_valid is not None else None
-    )
+    pred = flow_complete_forward(p, batch_flows, batch_masks, tvv)
 
     b = flows_f.shape[0]
     pred_f = pred[:b]

@@ -16,6 +16,7 @@ Params: flat torch-named dict (utils/checkpoint.py layouts).
 
 from __future__ import annotations
 
+import os
 from typing import Mapping
 
 import jax
@@ -71,8 +72,30 @@ def encoder(p: Params, x: jnp.ndarray) -> jnp.ndarray:
 
 def decoder(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     """decoder (model/propainter.py:304-312): two 2x (bilinear
-    align_corners=True) deconvs back to full res, 3 channels."""
+    align_corners=True) deconvs back to full res, 3 channels.
 
+    Frame-chunked past a full-res-area gate (per-frame pure): the
+    full-res intermediates are [N, 4h, 4w, 64] — several GB for one
+    720p window batched."""
+    n, h4, w4, _ = x.shape
+    big = (4 * h4) * (4 * w4) > int(
+        os.environ.get("PROPAINTER_TPU_PP_CHUNK_AREA", "400000")
+    )
+    from ..parallel.spatial import spatial_active
+
+    if big and n > 2 and not spatial_active():
+        cn = 2
+        nc = -(-n // cn)
+        pad = nc * cn - n
+        xin = (jnp.concatenate([x, x[:pad]]) if pad else x).reshape(
+            (nc, cn, h4, w4, x.shape[-1])
+        )
+        out = jax.lax.map(lambda a: _decoder_body(p, a), xin)
+        return out.reshape((nc * cn,) + out.shape[2:])[:n]
+    return _decoder_body(p, x)
+
+
+def _decoder_body(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     def deconv(pre, v):
         n, h, w, _ = v.shape
         v = resize_bilinear(v, 2 * h, 2 * w, align_corners=True)
@@ -388,9 +411,26 @@ def encode_features(
     Pure per-frame: window batching can encode each unique frame ONCE and
     gather windows from the features (the reference re-encodes every
     window's frames — ~2.7x redundant at default window overlap)."""
-    from ..parallel.spatial import constrain_h
+    from ..parallel.spatial import constrain_h, spatial_active
 
     enc_in = jnp.concatenate([masked_frames, masks_in, masks_updated], axis=-1)
+    n, hh, ww, _ = enc_in.shape
+    # frame-chunked past a full-res-area gate (per-frame pure, so a
+    # lax.map over frame chunks is exact): a 19-frame 720p window's
+    # encoder activations are several GB batched — part of what
+    # overflowed HBM in the 720p streaming leg
+    big = hh * ww > int(
+        os.environ.get("PROPAINTER_TPU_PP_CHUNK_AREA", "400000")
+    )
+    if big and n > 4 and not spatial_active():
+        cn = 4
+        nc = -(-n // cn)
+        pad = nc * cn - n
+        xin = (
+            jnp.concatenate([enc_in, enc_in[:pad]]) if pad else enc_in
+        ).reshape((nc, cn, hh, ww, 5))
+        out = jax.lax.map(lambda a: encoder(p, a), xin)
+        return out.reshape((nc * cn,) + out.shape[2:])[:n]
     return constrain_h(encoder(p, constrain_h(enc_in, 1)), 1)
 
 

@@ -336,7 +336,29 @@ def sparse_window_attention(
 
     from .deform_conv import _pallas_enabled
 
-    if _pallas_enabled() and axis_name is None:
+    # single-pass kernel VMEM estimate (whole rolled/pooled segments as
+    # blocks): past ~12MB Mosaic's scoped-vmem limit rejects it and the
+    # attention streams through the window-chunked XLA path below. (A
+    # segment-tiled kernel variant with bounded blocks exists —
+    # ops/pallas/window_attention.py::_window_attention_tiled, equality-
+    # tested — but Mosaic's scoped-vmem accounting of its multi-tile
+    # grid is non-monotone in tile size and rejected every tiling tried
+    # at 720p token shapes; see NOTES_ROUND4.md.)
+    _t_sel_est = len(t_ind) if t_ind is not None else t_glob
+    _rl_est = _t_sel_est * 148  # rolled survivors per frame for (5, 9)
+    _pl_est = _t_sel_est * (-(-new_h // pool_size[0])) * (
+        -(-new_w // pool_size[1])
+    )
+    _qt = t_glob * wh * ww
+    _esz = 2  # bf16
+    _vmem_est = (
+        (3 * _qt + 2 * _rl_est) * n_head * ch * _esz * 2
+        + 2 * _pl_est * n_head * ch * _esz
+        + _qt * n_head * ch * 4
+    )
+    _kernel_fits = _vmem_est < 12e6
+
+    if _pallas_enabled() and axis_name is None and _kernel_fits:
         # fused occupancy-sparse kernel: clean windows skip the big
         # branch; pooled K/V go in UNbroadcast (resident per batch row);
         # the t_ind subset on window keys is an additive bias, rolled and
@@ -379,32 +401,73 @@ def sparse_window_attention(
         if rolled_k_g is None:
             rolled_k_g = build_rolled(k)
             rolled_v_g = build_rolled(v)
-        pool_k_b = jnp.broadcast_to(
-            pool_k_g[:, None], (b, n_win, n_head, t_glob, p_h * p_w, ch)
-        )
-        pool_v_b = jnp.broadcast_to(
-            pool_v_g[:, None], (b, n_win, n_head, t_glob, p_h * p_w, ch)
-        )
-        k_all = jnp.concatenate([win_k_g, rolled_k_g, pool_k_b], axis=4)
-        v_all = jnp.concatenate([win_v_g, rolled_v_g, pool_v_b], axis=4)
-        if ti is not None:
-            k_sel = k_all[:, :, :, ti]
-            v_sel = v_all[:, :, :, ti]
-        else:
-            k_sel, v_sel = k_all, v_all
-        k_per_t = k_sel.shape[4]
+        k_per_t = wh * ww + rolled_k_g.shape[4] + p_h * p_w
         key_bias = jnp.where(
             jnp.repeat(tv_sel, k_per_t, axis=1), 0.0, -1e9
         )  # [B, Ksel]
+        pk_sel = pool_k_g[:, :, ti] if ti is not None else pool_k_g
+        pv_sel = pool_v_g[:, :, ti] if ti is not None else pool_v_g
 
-        qa = win_q.reshape(b, n_win, n_head, t * wh * ww, ch)
-        ka = k_sel.reshape(b, n_win, n_head, t_sel * k_per_t, ch)
-        va = v_sel.reshape(b, n_win, n_head, t_sel * k_per_t, ch)
-        att_a = jnp.einsum("bwhqc,bwhkc->bwhqk", qa, ka) * scale
-        att_a = att_a + key_bias[:, None, None, None, :].astype(att_a.dtype)
-        att_a = jax.nn.softmax(att_a, axis=-1)
-        out_a = jnp.einsum("bwhqk,bwhkc->bwhqc", att_a, va)
-        out_a = out_a.reshape(b, n_win, n_head, t, wh * ww, ch)
+        def branch_a(wq_c, wk_c, wv_c, rk_c, rv_c):
+            """All-frames branch for a chunk of windows [B, Cw, ...]."""
+            cw_n = wq_c.shape[1]
+            wk_s = wk_c[:, :, :, ti] if ti is not None else wk_c
+            wv_s = wv_c[:, :, :, ti] if ti is not None else wv_c
+            rk_s = rk_c[:, :, :, ti] if ti is not None else rk_c
+            rv_s = rv_c[:, :, :, ti] if ti is not None else rv_c
+            pk_b = jnp.broadcast_to(
+                pk_sel[:, None], (b, cw_n, n_head, t_sel, p_h * p_w, ch)
+            )
+            pv_b = jnp.broadcast_to(
+                pv_sel[:, None], (b, cw_n, n_head, t_sel, p_h * p_w, ch)
+            )
+            ka = jnp.concatenate([wk_s, rk_s, pk_b], axis=4).reshape(
+                b, cw_n, n_head, t_sel * k_per_t, ch
+            )
+            va = jnp.concatenate([wv_s, rv_s, pv_b], axis=4).reshape(
+                b, cw_n, n_head, t_sel * k_per_t, ch
+            )
+            qa = wq_c.reshape(b, cw_n, n_head, t * wh * ww, ch)
+            att_a = jnp.einsum("bwhqc,bwhkc->bwhqk", qa, ka) * scale
+            att_a = att_a + key_bias[:, None, None, None, :].astype(
+                att_a.dtype
+            )
+            att_a = jax.nn.softmax(att_a, axis=-1)
+            out_a = jnp.einsum("bwhqk,bwhkc->bwhqc", att_a, va)
+            return out_a.reshape(b, cw_n, n_head, t, wh * ww, ch)
+
+        # window-chunk the all-frames branch when its logits would not
+        # fit comfortably in HBM (720p streaming: [144, 4, 855, 6385]
+        # f32 logits are 12.6GB unchunked)
+        logits_bytes = b * n_win * n_head * (t * wh * ww) * (
+            t_sel * k_per_t
+        ) * 4
+        if logits_bytes > 1.2e9:
+            cw = max(1, int(6e8 // (logits_bytes // n_win)))
+            nc = -(-n_win // cw)
+            pad_w = nc * cw - n_win
+
+            def pad_chunk(a):
+                if pad_w:
+                    a = jnp.concatenate(
+                        [a, jnp.repeat(a[:, -1:], pad_w, axis=1)], axis=1
+                    )
+                return jnp.moveaxis(
+                    a.reshape((b, nc, cw) + a.shape[2:]), 1, 0
+                )
+
+            stacked = tuple(
+                pad_chunk(a)
+                for a in (win_q, win_k_g, win_v_g, rolled_k_g, rolled_v_g)
+            )
+            out_a = jax.lax.map(lambda ch_args: branch_a(*ch_args), stacked)
+            out_a = jnp.moveaxis(out_a, 0, 1).reshape(
+                (b, nc * cw) + out_a.shape[3:]
+            )[:, :n_win]
+        else:
+            out_a = branch_a(
+                win_q, win_k_g, win_v_g, rolled_k_g, rolled_v_g
+            )
 
         att_b = jnp.einsum("bwhtqc,bwhtkc->bwhtqk", win_q, win_k) * scale
         att_b = jax.nn.softmax(att_b, axis=-1)

@@ -440,20 +440,23 @@ class Pipeline:
         )
 
         def f(prm, frames):
-            batch = chunk_batch(frames)
             if total_vol > seq_budget:
+                # PER-PAIR sequential map: even one chunk's batched
+                # volumes don't fit at 720p+ (the all-pairs einsum's f32
+                # transient alone is ~1.7GB/prob); pairs are fully
+                # independent, so this is exact
+                pairs = jnp.stack(
+                    [frames[0, :-1], frames[0, 1:]], axis=1
+                )  # [T-1, 2, H, W, 3]
                 ff, fb = jax.lax.map(
-                    lambda ck: raft.raft_bi_forward(
-                        prm, ck[None], iters=cfg.raft_iter
+                    lambda pr: raft.raft_bi_forward(
+                        prm, pr[None], iters=cfg.raft_iter
                     ),
-                    batch,
+                    pairs,
                 )
-                ff = ff[:, 0]
-                fb = fb[:, 0]
-            else:
-                ff, fb = raft.raft_bi_forward(
-                    prm, batch, iters=cfg.raft_iter
-                )
+                return ff[:, 0, 0][None], fb[:, 0, 0][None]
+            batch = chunk_batch(frames)
+            ff, fb = raft.raft_bi_forward(prm, batch, iters=cfg.raft_iter)
             return unbatch(ff, fb)
 
         return f

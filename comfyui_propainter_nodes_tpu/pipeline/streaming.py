@@ -79,7 +79,14 @@ def process_streaming(
     ref_num = sub // cfg.ref_stride if t > sub else -1
 
     # ---------------- per-frame prepared tensors (cached by chunk) ------
-    prep_chunk = 32
+    # the cache stores byte frames (f32 0..255, carries the bicubic
+    # resize's fractional part) + BINARY masks as uint8; the [-1,1]
+    # normalization is recomputed per gather with the identical
+    # expression (byte/255*2-1), so nothing numeric changes while the
+    # resident footprint halves — at 720p the f32 norm+byte+masks form
+    # held ~0.94GB per 32-frame chunk, several chunks live (part of the
+    # 240f 720p streaming OOM). Chunks shrink at large areas.
+    prep_chunk = 32 if ph * pw <= 640 * 480 else 16
 
     def _prep(k: int):
         lo = k * prep_chunk
@@ -88,22 +95,29 @@ def process_streaming(
             prefetch(lo + n, prep_chunk)
         frames = jnp.asarray(fetch(lo, n))
         masks = jnp.asarray(fetch_mask(lo, n))
-        norm, byte = image_utils.prepare_frames(frames, pw, ph)
+        _, byte = image_utils.prepare_frames(frames, pw, ph)
         flow_m, dil_m = image_utils.prepare_masks(
             masks, pw, ph, flow_mask_dilates, mask_dilates
         )
-        return norm, byte, flow_m, dil_m
+        return byte, flow_m.astype(jnp.uint8), dil_m.astype(jnp.uint8)
 
     prep = _ChunkCache(_prep)
 
     def gather(i: int, lo: int, hi: int):
-        """Prepared tensors for absolute frame range [lo, hi) (clamped)."""
+        """Prepared tensors for absolute frame range [lo, hi) (clamped).
+        i: 0 = normalized frames, 1 = byte frames, 2/3 = masks."""
         lo = max(0, lo)
         hi = min(t, hi)
         parts = []
         k0, k1 = lo // prep_chunk, (hi - 1) // prep_chunk
         for k in range(k0, k1 + 1):
-            a = prep.get(k)[i]
+            cached = prep.get(k)
+            if i == 0:
+                a = (cached[0] / 255.0) * 2.0 - 1.0  # == prepare_frames
+            elif i == 1:
+                a = cached[0]
+            else:
+                a = cached[i - 1].astype(jnp.float32)
             s = max(lo - k * prep_chunk, 0)
             e = min(hi - k * prep_chunk, a.shape[0])
             parts.append(a[s:e])
@@ -115,10 +129,15 @@ def process_streaming(
     single_fc = flow_len <= sub
 
     def _flows_range(lo: int, hi: int):
-        """Raw RAFT flows for pair indices [lo, hi) (pairs independent)."""
+        """Raw RAFT flows for pair indices [lo, hi) (pairs independent).
+
+        Returned in the pipeline compute dtype: flow completion casts its
+        inputs to cdtype anyway, so casting HERE is numerically identical
+        while halving the streamed flow buffers (f32 flows for one 80-pair
+        720p chunk are 1.25GB — part of the high-res HBM budget)."""
         frames = gather(0, lo, hi + 1)[None]
         ff, fb = pipe.compute_flow(frames)
-        return ff, fb
+        return ff.astype(pipe.cdtype), fb.astype(pipe.cdtype)
 
     def _completed(k: int):
         if single_fc:
@@ -130,7 +149,7 @@ def process_streaming(
             e_f = min(flow_len, f + sub + pad_fc)
             t_static = sub + 2 * pad_fc
         ff, fb = _flows_range(s_f, e_f)
-        mk = gather(2, s_f, e_f + 1)[None]
+        mk = gather(2, s_f, e_f + 1)[None].astype(pipe.cdtype)
         of, ob = pipe.complete_flow_chunk(ff, fb, mk, e_f - s_f, t_static)
         if single_fc:
             return 0, of, ob
@@ -166,8 +185,8 @@ def process_streaming(
             s_f = max(0, f - pad_ip)
             e_f = min(t, f + sub_img + pad_ip)
             t_static = sub_img + 2 * pad_ip
-        fr = gather(0, s_f, e_f)[None]
-        mk = gather(3, s_f, e_f)[None]
+        fr = gather(0, s_f, e_f)[None].astype(pipe.cdtype)
+        mk = gather(3, s_f, e_f)[None].astype(pipe.cdtype)
         ff, fb = completed_range(s_f, e_f - 1)
         uf, um = pipe.image_prop_chunk(fr, mk, ff, fb, e_f - s_f, t_static)
         if single_ip:
@@ -216,7 +235,10 @@ def process_streaming(
         need_hi = n0 + l_t_max
         if tail.shape[0] < need_hi - tail_base:
             lo = tail_base + tail.shape[0]
-            newly = gather(1, lo, min(t, need_hi))
+            if lo >= t:  # the window's tail reach is entirely padding
+                newly = jnp.zeros((0, ph, pw, 3), jnp.float32)
+            else:
+                newly = gather(1, lo, min(t, need_hi))
             if newly.shape[0] < need_hi - lo:  # pad region beyond the video
                 padn = need_hi - lo - newly.shape[0]
                 newly = jnp.concatenate(
@@ -273,6 +295,14 @@ def process_streaming(
         )
         for i in neighbor_ids:
             visited[i] = True
+
+        if ph * pw > 640 * 480:
+            # high-res: force each window to finish before dispatching
+            # the next (4-byte fetch). Async dispatch otherwise queues
+            # several windows whose gathered inputs/outputs (~1GB each at
+            # 720p) are all live at once and OOM the chip; at these
+            # sizes a window's compute dwarfs the sync round-trip.
+            np.asarray(jnp.max(blended[0, 0, :4]))
 
         pipe._report("feature_windows", win_i + 1, n_windows)
 

@@ -95,3 +95,83 @@ def test_bidirect_and_combine_parity(torch_model, jax_params):
     )
     np.testing.assert_allclose(np.asarray(of), ref_f, atol=5e-4, rtol=1e-3)
     np.testing.assert_allclose(np.asarray(ob), ref_b, atol=5e-4, rtol=1e-3)
+
+
+def test_chunked_forward_matches_unchunked(monkeypatch, jax_params):
+    """The high-res memory path (temporal-halo-chunked encoder +
+    frame-chunked decoder) must reproduce the all-frames-batched forward
+    exactly: the halo absorbs the four dilated-2 temporal convs' +-8
+    receptive field, synthetic halo frames are re-zeroed before every
+    temporal conv, and the decoder is per-frame pure. Forcing the area
+    gate low exercises it at test shapes, incl. an end-padded T."""
+    from comfyui_propainter_nodes_tpu.models import flow_completion as jfc
+
+    rng = np.random.default_rng(4)
+    b, t, h, w = 1, 21, 64, 96  # t NOT a multiple of the chunk length
+    flows = jnp.asarray(
+        (rng.standard_normal((b, t, h, w, 2)) * 2).astype(np.float32)
+    )
+    masks = jnp.asarray(
+        (rng.uniform(size=(b, t, h, w, 1)) > 0.7).astype(np.float32)
+    )
+
+    ref = jfc.flow_complete_forward(jax_params, flows, masks)
+    monkeypatch.setenv("PROPAINTER_TPU_FC_CHUNK_AREA", "1")
+    out = jfc.flow_complete_forward(jax_params, flows, masks)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=3e-5, rtol=1e-4
+    )
+
+    # end-padded sequence: real prefix must stay exact through chunking
+    tv = 17
+    fp = jnp.pad(flows, ((0, 0), (0, 5), (0, 0), (0, 0), (0, 0)))
+    mp = jnp.pad(masks, ((0, 0), (0, 5), (0, 0), (0, 0), (0, 0)))
+    out_p = jfc.flow_complete_forward(
+        jax_params, fp[:, : t + 5], mp[:, : t + 5], t_valid=jnp.asarray(tv)
+    )
+    monkeypatch.delenv("PROPAINTER_TPU_FC_CHUNK_AREA")
+    ref_p = jfc.flow_complete_forward(
+        jax_params, fp[:, : t + 5], mp[:, : t + 5], t_valid=jnp.asarray(tv)
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_p[:, :tv]), np.asarray(ref_p[:, :tv]),
+        atol=3e-5, rtol=1e-4,
+    )
+
+
+def test_sequential_directions_match_batched(monkeypatch, jax_params):
+    """High-res mode runs the two temporal directions as sequential
+    network calls; must equal the 2x-batched form exactly (no cross-
+    batch coupling in the network)."""
+    from comfyui_propainter_nodes_tpu.models import flow_completion as jfc
+
+    rng = np.random.default_rng(6)
+    b, t, h, w = 1, 9, 64, 96
+    ff = jnp.asarray((rng.standard_normal((b, t - 1, h, w, 2)) * 2).astype(np.float32))
+    fb = jnp.asarray((rng.standard_normal((b, t - 1, h, w, 2)) * 2).astype(np.float32))
+    mk = jnp.asarray((rng.uniform(size=(b, t, h, w, 1)) > 0.7).astype(np.float32))
+
+    ref = jfc.forward_bidirect_flow(jax_params, ff, fb, mk)
+    monkeypatch.setenv("PROPAINTER_TPU_FC_CHUNK_AREA", "1")
+    out = jfc.forward_bidirect_flow(jax_params, ff, fb, mk)
+    for o, r in zip(out, ref):
+        np.testing.assert_allclose(
+            np.asarray(o), np.asarray(r), atol=3e-5, rtol=1e-4
+        )
+    # with an end-padded T (scalar t_valid)
+    tv = 6
+    ffp = jnp.pad(ff, ((0, 0), (0, 3), (0, 0), (0, 0), (0, 0)))
+    fbp = jnp.pad(fb, ((0, 0), (0, 3), (0, 0), (0, 0), (0, 0)))
+    mkp = jnp.pad(mk, ((0, 0), (0, 3), (0, 0), (0, 0), (0, 0)))
+    out_p = jfc.forward_bidirect_flow(
+        jax_params, ffp, fbp, mkp, t_valid=jnp.asarray(tv)
+    )
+    monkeypatch.delenv("PROPAINTER_TPU_FC_CHUNK_AREA")
+    ref_p = jfc.forward_bidirect_flow(
+        jax_params, ffp, fbp, mkp, t_valid=jnp.asarray(tv)
+    )
+    for o, r in zip(out_p, ref_p):
+        np.testing.assert_allclose(
+            np.asarray(o[:, :tv]), np.asarray(r[:, :tv]),
+            atol=3e-5, rtol=1e-4,
+        )

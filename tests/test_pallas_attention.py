@@ -120,3 +120,51 @@ def test_sparse_window_attention_pallas_path_matches_xla_path():
     finally:
         dc._USE_PALLAS = old
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+def test_tiled_kernel_matches_single(monkeypatch):
+    """The segment-tiled kernel (bounded VMEM for 720p+) must equal the
+    single-pass kernel: flash state carried in scratch across segment
+    tiles, -1e9-biased tile padding, query-row-tiled clean branch."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from comfyui_propainter_nodes_tpu.ops.pallas import window_attention as wa
+
+    rng = np.random.default_rng(8)
+    n_win_per_b, b, n_head, t, wsz, ch = 4, 2, 2, 5, 9, 32
+    w = b * n_win_per_b
+    qt = t * wsz
+    rl, pl_len = 100, 70  # NOT SEG_TILE multiples: exercises pad path
+    f32 = np.float32
+    win_q = jnp.asarray(rng.standard_normal((w, n_head, t, wsz, ch)).astype(f32))
+    win_k = jnp.asarray(rng.standard_normal((w, n_head, t, wsz, ch)).astype(f32))
+    win_v = jnp.asarray(rng.standard_normal((w, n_head, t, wsz, ch)).astype(f32))
+    rk = jnp.asarray(rng.standard_normal((w, n_head, rl, ch)).astype(f32))
+    rv = jnp.asarray(rng.standard_normal((w, n_head, rl, ch)).astype(f32))
+    pk = jnp.asarray(rng.standard_normal((b, n_head, pl_len, ch)).astype(f32))
+    pv = jnp.asarray(rng.standard_normal((b, n_head, pl_len, ch)).astype(f32))
+    occ = jnp.asarray(rng.integers(0, 2, (w,)).astype(np.int32))
+    bias_w = jnp.asarray(
+        np.where(rng.uniform(size=(b, qt)) > 0.3, 0.0, -1e9).astype(f32)
+    )
+    bias_r = jnp.asarray(
+        np.where(rng.uniform(size=(b, rl)) > 0.3, 0.0, -1e9).astype(f32)
+    )
+    bias_p = jnp.asarray(
+        np.where(rng.uniform(size=(b, pl_len)) > 0.3, 0.0, -1e9).astype(f32)
+    )
+    # small SEG_TILE so the segments genuinely span multiple tiles
+    monkeypatch.setattr(wa, "SEG_TILE", 64)
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    args = (win_q, win_k, win_v, rk, rv, pk, pv, occ, bias_w, bias_r, bias_p)
+    with pltpu.force_tpu_interpret_mode():
+        ref = np.asarray(
+            wa._window_attention_single(*args, n_win_per_b=n_win_per_b)
+        )
+        out = np.asarray(
+            wa._window_attention_tiled(*args, n_win_per_b=n_win_per_b)
+        )
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-4)
