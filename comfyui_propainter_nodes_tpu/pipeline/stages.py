@@ -444,13 +444,21 @@ class Pipeline:
                 # PER-PAIR sequential map: even one chunk's batched
                 # volumes don't fit at 720p+ (the all-pairs einsum's f32
                 # transient alone is ~1.7GB/prob); pairs are fully
-                # independent, so this is exact
+                # independent, so this is exact. Flows leave the map in
+                # the pipeline compute dtype — the same cast the
+                # completion stage applies (reference half-cast,
+                # propainter_inference.py:325-331) — halving the stacked
+                # map output (f32 flows for 85 720p pairs are 2.5GB).
+                fdt = jnp.bfloat16 if cfg.use_bf16 else jnp.float32
                 pairs = jnp.stack(
                     [frames[0, :-1], frames[0, 1:]], axis=1
                 )  # [T-1, 2, H, W, 3]
                 ff, fb = jax.lax.map(
-                    lambda pr: raft.raft_bi_forward(
-                        prm, pr[None], iters=cfg.raft_iter
+                    lambda pr: tuple(
+                        a.astype(fdt)
+                        for a in raft.raft_bi_forward(
+                            prm, pr[None], iters=cfg.raft_iter
+                        )
                     ),
                     pairs,
                 )

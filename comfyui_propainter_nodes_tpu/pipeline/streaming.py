@@ -101,6 +101,15 @@ def process_streaming(
         )
         return byte, flow_m.astype(jnp.uint8), dil_m.astype(jnp.uint8)
 
+    def _hires_sync(x):
+        """4-byte fetch forcing a cache computation to finish before the
+        next one is dispatched (high-res only): with everything async,
+        the first window's whole prep->flows->completion->image-prop
+        chain queues up with every intermediate buffer live at once."""
+        if ph * pw > 640 * 480:
+            np.asarray(jnp.max(jax.tree_util.tree_leaves(x)[0]))
+        return x
+
     prep = _ChunkCache(_prep)
 
     def gather(i: int, lo: int, hi: int):
@@ -151,6 +160,7 @@ def process_streaming(
         ff, fb = _flows_range(s_f, e_f)
         mk = gather(2, s_f, e_f + 1)[None].astype(pipe.cdtype)
         of, ob = pipe.complete_flow_chunk(ff, fb, mk, e_f - s_f, t_static)
+        _hires_sync(of)
         if single_fc:
             return 0, of, ob
         keep_lo = k * sub - s_f
@@ -189,6 +199,7 @@ def process_streaming(
         mk = gather(3, s_f, e_f)[None].astype(pipe.cdtype)
         ff, fb = completed_range(s_f, e_f - 1)
         uf, um = pipe.image_prop_chunk(fr, mk, ff, fb, e_f - s_f, t_static)
+        _hires_sync(uf)
         if single_ip:
             return 0, uf, um
         keep_lo = k * sub_img - s_f
@@ -246,7 +257,16 @@ def process_streaming(
                 )
             tail = jnp.concatenate([tail, newly.astype(jnp.float32)], axis=0)
 
-        sel = neighbor_ids + [0] * (l_t_max - l_t) + ref_ids + [0] * (ref_max - n_ref)
+        # padded slots are fully masked in the window program (l_t_valid/
+        # ref_valid + zeroed masks), so their CONTENT is irrelevant — but
+        # their INDEX must stay inside the live working set: padding with
+        # frame 0 resurrected evicted chunk 0, recomputing its whole
+        # flows->completion->image-prop chain for every window with a
+        # padded ref slot (most of them) once eviction began
+        sel = (
+            neighbor_ids + [n0] * (l_t_max - l_t)
+            + ref_ids + [n0] * (ref_max - n_ref)
+        )
         uf_sel, um_sel = updated_at(sel)
         md_sel = jnp.stack([gather(3, i, i + 1)[0] for i in sel], 0)[None]
         valid = jnp.asarray(
@@ -314,11 +334,27 @@ def process_streaming(
             tail = tail[n_out:]
             tail_base = final_hi
 
-        # evict caches outside the remaining working set
-        lookback = n0 - max(ref_span, pad_ip, ns) - sub_img
-        updated.evict_below(max(0, lookback) // max(1, sub_img if not single_ip else t))
-        completed.evict_below(max(0, lookback) // max(1, sub if not single_fc else flow_len))
-        prep.evict_below(max(0, lookback) // prep_chunk)
+        # evict caches outside the remaining working set. Future windows
+        # (f' >= this window's f) touch frames >= f - ref_span; each
+        # cache's floor then chains through the recompute halos: a
+        # future _updated(k) re-reads completed pairs / prep frames from
+        # k*sub_img - pad_ip, a future _completed(k) reads prep frames
+        # from k*sub - pad_fc. (The previous single `lookback` formula
+        # subtracted sub_img on top of ref_span for every cache — at
+        # 720p that conservatism kept an extra ~1.5GB of dead chunks
+        # alive through the no-eviction prefix of the video.)
+        f_lo = max(0, n0 + ns - ref_span - ns)  # earliest future-needed frame
+        upd_floor = 0 if single_ip else f_lo // sub_img
+        updated.evict_below(upd_floor)
+        cmp_need = min(f_lo, max(0, upd_floor * sub_img - pad_ip))
+        cmp_floor = 0 if single_fc else cmp_need // sub
+        completed.evict_below(cmp_floor)
+        prep_need = min(
+            tail_base,
+            cmp_need,
+            max(0, (cmp_floor * sub - pad_fc) if not single_fc else 0),
+        )
+        prep.evict_below(max(0, prep_need) // prep_chunk)
 
     if tail_base < t:
         write(tail_base, np.asarray(tail[: t - tail_base]))
