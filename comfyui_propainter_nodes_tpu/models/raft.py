@@ -95,7 +95,12 @@ def basic_encoder(p: Params, pre: str, x: jnp.ndarray, norm: str) -> jnp.ndarray
 # on every side keeps the window slice in-bounds (and reading exact zeros)
 # for every partially-valid centroid, so "zeros" padding needs no masks.
 _WIN = 2 * CORR_RADIUS + 2  # 10
-_PAD = 2 * CORR_RADIUS + 1  # 9
+# border for the dynamic-slice fallback: must be >= _WIN so a window
+# whose start clamps at 0 (or Hp-_WIN) still lies ENTIRELY in the zero
+# border — at 9, centroids out of range by 5-6 px read one real
+# row/column with nonzero bilinear weight where grid_sample "zeros"
+# semantics (and the einsum/lanes paths) give exact 0
+_PAD = 2 * CORR_RADIUS + 2  # 10
 
 
 def _avg_pool_map(m: jnp.ndarray) -> jnp.ndarray:
@@ -490,8 +495,27 @@ def raft_bi_forward(
     fm = fmaps.reshape(b, t, h8, w8, -1)
     f1 = fm[:, :-1].reshape(n, h8, w8, -1)
     f2 = fm[:, 1:].reshape(n, h8, w8, -1)
-    unpadded = _use_unpadded_einsum()
-    pyramid = build_corr_pyramid_bi(f1, f2, pad=not unpadded)
+    from ..ops.deform_conv import _pallas_enabled
+
+    lanes = (
+        _pallas_enabled()
+        and os.environ.get("PROPAINTER_TPU_CORR_KERNEL", "lanes") == "lanes"
+    )
+    if lanes:
+        # pixels-on-lanes Pallas lookup: pixel-minor pyramid, per-tile
+        # dynamic y-blocks — reads only the sampled rows each iteration
+        # (ops/pallas/corr_lanes.py)
+        from ..ops.pallas.corr_lanes import (
+            build_corr_pyramid_bi_lanes,
+            corr_lookup_lanes,
+        )
+
+        pyramid = build_corr_pyramid_bi_lanes(f1, f2)
+        lookup = lambda c: corr_lookup_lanes(pyramid, c)
+    else:
+        unpadded = _use_unpadded_einsum()
+        pyramid = build_corr_pyramid_bi(f1, f2, pad=not unpadded)
+        lookup = lambda c: lookup_corr(pyramid, c, padded=not unpadded)
 
     # context order matches the pyramid's batch: [fwd image1 ++ bwd image1]
     cn = cnet_all.reshape(b, t, h8, w8, -1)
@@ -505,7 +529,7 @@ def raft_bi_forward(
 
     def step(carry, _):
         net, coords1 = carry
-        corr = lookup_corr(pyramid, coords1, padded=not unpadded)
+        corr = lookup(coords1)
         flow = coords1 - coords0
         net, delta = _update_block(
             params, net, inp, corr.astype(cdt), flow.astype(cdt)

@@ -344,13 +344,19 @@ def sparse_window_attention(
     # tested — but Mosaic's scoped-vmem accounting of its multi-tile
     # grid is non-monotone in tile size and rejected every tiling tried
     # at 720p token shapes; see NOTES_ROUND4.md.)
+    # the estimate must agree exactly with the dispatcher's
+    # (pallas/window_attention.py::window_attention_pallas) or shapes this
+    # gate accepts could route into the tiled kernel, which Mosaic rejects
+    # at large token shapes: use the REAL rolled-survivor count for this
+    # window_size and the REAL compute element size (not (5,9)/bf16
+    # constants).
     _t_sel_est = len(t_ind) if t_ind is not None else t_glob
-    _rl_est = _t_sel_est * 148  # rolled survivors per frame for (5, 9)
+    _rl_est = _t_sel_est * int(_valid_rolled_indices(window_size).size)
     _pl_est = _t_sel_est * (-(-new_h // pool_size[0])) * (
         -(-new_w // pool_size[1])
     )
     _qt = t_glob * wh * ww
-    _esz = 2  # bf16
+    _esz = 2 if q.dtype == jnp.bfloat16 else 4
     _vmem_est = (
         (3 * _qt + 2 * _rl_est) * n_head * ch * _esz * 2
         + 2 * _pl_est * n_head * ch * _esz

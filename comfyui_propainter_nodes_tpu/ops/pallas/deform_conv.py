@@ -6,22 +6,30 @@ pipeline's 90x160x128 working shape). TPUs have no vector gather — but
 they have an MXU. This kernel reformulates bilinear sampling as two
 SEPARABLE TENT-WEIGHT CONTRACTIONS, laid out pixel-on-LANES:
 
-    for y-band b (static, skipped unless sampled):   # BAND rows of x
+    for row-window j (dynamic, exactly the rows this tile samples):
       for (g, k):
         oxT[w, p]        = tent(cols - sx)                  (VPU)
-        tmpT[b*cg, p]    = xgT[b*cg, w] @ oxT[w, p]         (MXU)
-        sT[cg, p]        = sum_b tmpT[b, cg, p] * oyT[b, p] (VPU)
-        outT[co, p]     += wkT[co, cg] @ (sT * mask)        (MXU)
+        tmpT[RW*cg, p]   = xgT[RW*cg, w] @ oxT[w, p]        (MXU)
+        sT[g,k,cg, p]   += sum_rw tmpT[rw, cg, p] * oyT     (VPU)
+    outT[co, p] += wT[co, g*k*cg] @ (sT * mask)             (MXU, ONE dot)
 
 Bilinear weights are tents, so a pixel's y-contribution lives entirely
-in rows [floor(sy), floor(sy)+1] and the sum over y-bands is exact.
+in rows [floor(sy), floor(sy)+1] and the sum over row windows is exact.
 Both model call sites bound the learned offset residual with `A*tanh`
 (our models/propainter.py:103, models/flow_completion.py:102), so the
 rows sampled by one tile of 512 consecutive pixels span ~(tile rows +
-taps + residual + local flow spread) — the kernel computes the exact
-[min, max] row range per tile and `pl.when`-skips every y-band outside
-it: typically 1-2 of ceil(h/BAND) bands execute. Out-of-bounds taps get
-exact-zero tent weights -> torchvision "zeros" padding semantics.
+taps + residual + local flow spread): the kernel reads the exact
+[min, max] sampled row range per tile (computed outside, in XLA) and
+walks it in RW-row windows STARTING AT the range's first row — unlike
+the round-4 static y-band grid, no band-quantization waste, and
+RW*cg = 128 makes every tent matmul exactly one MXU M-tile
+([128, w] @ [w, TILE]; the old kernel's 24-row bands were 192 sublanes
+= 2 M-tiles covering rows the tile never sampled). The per-(g, k)
+output dots ([cout, cg] @ [cg, TILE], 144 of them) are replaced by ONE
+[cout, g*k*cg] contraction against a VMEM-resident sample buffer.
+Together: ~3.4x fewer MXU tile-ops per pixel tile at the
+[*, 90, 160, 128] g16 call-site shape. Out-of-bounds taps get exact-zero
+tent weights -> torchvision "zeros" padding semantics.
 
 Semantics identical to ops.deform_conv2d_xla (stride 1, dilation 1,
 torchvision layout; reference call sites model/propainter.py:73-82,
@@ -38,86 +46,90 @@ from jax.experimental import pallas as pl
 
 
 TILE = 512  # pixels per grid step, on the lane axis
-BAND = 24  # y-rows per band
+RW = 16  # rows per dynamic row window (RW * cg == 128 at cg=8)
 
 
 def _kernel(
-    lo_ref, hi_ref, sy_ref, sx_ref, mask_ref, x_ref, w_ref, out_ref, *, h, w, cg, g, k,
-    tile,
+    lo_ref, nw_ref, sy_ref, sx_ref, mask_ref, x_ref, w_ref, out_ref,
+    s_ref, *, h, w, cg, g, k, tile, rw,
 ):
     """Grid: (n, n_tiles, n_gb) — gb (deform-group blocks) iterates
     FASTEST so the out block is revisited consecutively and accumulates
     in VMEM across group blocks (g-blocking halves the x block, which
     dominates the kernel's scoped-VMEM budget for f32 operands)."""
     cols_t = jax.lax.broadcasted_iota(jnp.int32, (w, tile), 0).astype(jnp.float32)
-    n_bands = -(-h // BAND)
     ni = pl.program_id(0)
     pt = pl.program_id(1)
     gb = pl.program_id(2)
+    cout = out_ref.shape[1]
 
-    def band_body(start, bsz):
-        # single fori_loop body over (g, k): an unrolled loop would give
-        # every iteration's MXU output its own VMEM stack slot (144 x
-        # ~128 KB blows the 16 MB scoped-vmem limit)
-        rows_t = (
-            jax.lax.broadcasted_iota(jnp.int32, (bsz, tile), 0) + start
-        ).astype(jnp.float32)
+    rlo = lo_ref[ni, pt, 0]
+    nw = nw_ref[ni, pt, 0]
 
-        def g_body(gi, acc):
-            # k unrolled (9 iterations pipeline the MXU); g looped so the
-            # per-iteration buffers don't multiply by 144
-            xg_m = x_ref[0, 0, pl.ds(gi, 1), pl.ds(start, bsz)].reshape(
-                bsz * cg, w
+    def g_body(gi, carry):
+        # single fori_loop body over g: an unrolled loop would give
+        # every iteration's MXU output its own VMEM stack slot and blow
+        # the 16 MB scoped-vmem limit. k is unrolled (9 iterations
+        # pipeline the MXU); the row-window loop is innermost so the
+        # x row slice happens once per (g, window).
+        def win_body(j, accs):
+            start = rlo + j * rw
+            xg_w = x_ref[0, 0, pl.ds(gi, 1), pl.ds(start, rw)].reshape(
+                rw * cg, w
             )
+            rows_t = (
+                jax.lax.broadcasted_iota(jnp.int32, (rw, tile), 0) + start
+            ).astype(jnp.float32)
+            out = []
             for ki in range(k):
                 sy = sy_ref[0, 0, pl.ds(gi, 1), ki, 0].reshape(1, tile)
                 sx = sx_ref[0, 0, pl.ds(gi, 1), ki, 0].reshape(1, tile)
-                m = mask_ref[0, 0, pl.ds(gi, 1), ki, 0].reshape(1, tile)
                 # tent weights ARE the bilinear kernel: rows/cols floor(s)
                 # and floor(s)+1 get (1-frac, frac), everything else
                 # (incl. fully out-of-bounds taps and the -10 pixel
                 # padding) gets exact 0
                 ox_t = jnp.maximum(1.0 - jnp.abs(cols_t - sx), 0.0)  # [w, tile]
-                oy_t = jnp.maximum(1.0 - jnp.abs(rows_t - sy), 0.0)  # [bsz, tile]
+                oy_t = jnp.maximum(1.0 - jnp.abs(rows_t - sy), 0.0)  # [rw, tile]
                 tmp_t = jnp.dot(
-                    xg_m, ox_t.astype(xg_m.dtype), preferred_element_type=jnp.float32
-                )  # [bsz*cg, tile]
+                    xg_w, ox_t.astype(xg_w.dtype),
+                    preferred_element_type=jnp.float32,
+                )  # [rw*cg, tile]
                 s_t = jnp.sum(
-                    tmp_t.reshape(bsz, cg, tile) * oy_t[:, None, :], axis=0
+                    tmp_t.reshape(rw, cg, tile) * oy_t[:, None, :], axis=0
                 )  # [cg, tile]
-                s_t = s_t * m
-                wk_t = w_ref[0, pl.ds(gi, 1), ki].reshape(
-                    out_ref.shape[1], cg
-                ).astype(jnp.float32)
-                acc = acc + jnp.dot(wk_t, s_t, preferred_element_type=jnp.float32)
-            return acc
+                out.append(accs[ki] + s_t)
+            return tuple(out)
 
-        acc = jax.lax.fori_loop(
-            0, g, g_body, jnp.zeros((out_ref.shape[1], tile), jnp.float32)
+        accs = jax.lax.fori_loop(
+            0, nw, win_body,
+            tuple(jnp.zeros((cg, tile), jnp.float32) for _ in range(k)),
         )
-        out_ref[0] = out_ref[0] + acc
+        # modulation masks applied once per (g, k) after the window sum;
+        # rows stacked in (k, cg) order to match the weight layout
+        masked = [
+            accs[ki] * mask_ref[0, 0, pl.ds(gi, 1), ki, 0].reshape(1, tile)
+            for ki in range(k)
+        ]
+        s_ref[pl.ds(gi, 1)] = jnp.concatenate(masked, axis=0)[None]
+        return carry
+
+    jax.lax.fori_loop(0, g, g_body, 0)
+
+    # ONE output contraction for the whole group block: [cout, g*k*cg]
+    # @ [g*k*cg, tile] replaces g*k tiny [cout, cg] dots
+    s_flat = s_ref[...].reshape(g * k * cg, tile)
+    acc = jnp.dot(
+        w_ref[0].reshape(cout, g * k * cg), s_flat,
+        preferred_element_type=jnp.float32,
+    )
 
     @pl.when(gb == 0)
     def _():
-        out_ref[...] = jnp.zeros_like(out_ref)
+        out_ref[0] = acc
 
-    if n_bands == 1:
-        band_body(0, h)
-        return
-
-    # row range actually sampled by this tile (reduced outside, in XLA);
-    # iterate only the bands inside it — ONE loop body instance, so the
-    # kernel's VMEM stack does not scale with the band count
-    lo = lo_ref[ni, pt, 0]
-    hi = hi_ref[ni, pt, 0]
-    b0 = jnp.maximum(lo // BAND, 0)
-    b1 = jnp.minimum(hi // BAND + 1, n_bands)
-
-    def loop_body(b, carry):
-        band_body(b * BAND, BAND)
-        return carry
-
-    jax.lax.fori_loop(b0, b1, loop_body, 0)
+    @pl.when(gb > 0)
+    def _():
+        out_ref[0] = out_ref[0] + acc
 
 
 @functools.partial(jax.jit, static_argnames=("padding",))
@@ -146,6 +158,7 @@ def deform_conv2d_pallas(
     # unrolled intermediates); halve the pixel tile to stay inside the
     # 16MB scoped-vmem limit
     tile = TILE if x.dtype == jnp.bfloat16 else TILE // 2
+    rw = RW
 
     # sampling coords per (g, k, pixel): base grid + tap + offset
     gy, gx = jnp.meshgrid(
@@ -179,23 +192,37 @@ def deform_conv2d_pallas(
     sx = sx.reshape(n, g, k, n_tiles, 1, tile)
     mk = mk.reshape(n, g, k, n_tiles, 1, tile)
 
-    # per-tile sampled row range (drives the kernel's y-band skipping);
-    # -10 pixel padding excluded so it never drags lo below 0
+    # per-tile sampled row range (drives the kernel's dynamic row
+    # windows). Rows outside [0, h-1] contribute exact zeros (zero tent
+    # weight or zero-padded data), so the range is clamped there; the
+    # -10 pixel padding maps all-padding tiles to an empty range.
     syv = jnp.where(sy > -5.0, sy, jnp.float32(1e9))
     lo_t = jnp.floor(jnp.min(syv, axis=(1, 2, 4, 5))).astype(jnp.int32)
     syv = jnp.where(sy > -5.0, sy, jnp.float32(-1e9))
     hi_t = jnp.floor(jnp.max(syv, axis=(1, 2, 4, 5))).astype(jnp.int32) + 1
+    lo_t = jnp.clip(lo_t, 0, h - 1)
+    hi_t = jnp.clip(hi_t, 0, h - 1)
+    # window count; empty ranges (hi < lo, all-padding tiles) give <= 0
+    # and the kernel's fori_loop runs zero iterations
+    nw_t = jnp.where(hi_t >= lo_t, (hi_t - lo_t) // rw + 1, 0)
     lo_t = lo_t.reshape(n, n_tiles, 1)  # [N, n_tiles, 1]
-    hi_t = hi_t.reshape(n, n_tiles, 1)
+    nw_t = nw_t.reshape(n, n_tiles, 1).astype(jnp.int32)
 
-    # x grouped, y-band sliceable: [N, G, Hpad, Cg, W]; weight [G, K, Cout, Cg].
-    # h zero-padded to a band multiple: out-of-range tent rows then hit
-    # exact zeros, preserving torchvision "zeros" padding semantics.
-    h_pad = -(-h // BAND) * BAND if h > BAND else h
+    # x grouped, row-window sliceable: [N, G, Hpad, Cg, W]. h zero-padded
+    # by RW so the LAST window (start <= h-1) stays in bounds; its
+    # padded rows hit exact zeros, preserving torchvision "zeros"
+    # padding semantics.
+    h_pad = h + rw
     xg = x.reshape(n, h, w, g, cg).transpose(0, 3, 1, 4, 2)
-    if h_pad != h:
-        xg = jnp.pad(xg, ((0, 0), (0, 0), (0, h_pad - h), (0, 0), (0, 0)))
-    wg = weight.reshape(k, g, cg, cout).transpose(1, 0, 3, 2).astype(jnp.float32)
+    xg = jnp.pad(xg, ((0, 0), (0, 0), (0, h_pad - h), (0, 0), (0, 0)))
+    # weight for the fused output dot: [Cout, G*K*Cg] in (g, k, cg) row
+    # order matching the kernel's sample buffer
+    wg = (
+        weight.reshape(k, g, cg, cout)
+        .transpose(3, 1, 0, 2)  # [cout, g, k, cg]
+        .reshape(cout, g * k * cg)
+        .astype(jnp.float32)
+    )
 
     # the batch is a GRID dimension (not vmap): vmapping the pallas_call
     # made XLA hold the whole [N, Cout, hw_pad] f32 result as a scoped
@@ -210,9 +237,8 @@ def deform_conv2d_pallas(
     n_gb = g // g_blk
     grid = (n, n_tiles, n_gb)
     kern = functools.partial(
-        _kernel, h=h, w=w, cg=cg, g=g_blk, k=k, tile=tile
+        _kernel, h=h, w=w, cg=cg, g=g_blk, k=k, tile=tile, rw=rw
     )
-    band = min(BAND, h)
 
     from jax.experimental.pallas import tpu as pltpu
 
@@ -220,7 +246,7 @@ def deform_conv2d_pallas(
     sx = sx.reshape(n, n_gb, g_blk, k, n_tiles, 1, tile)
     mk = mk.reshape(n, n_gb, g_blk, k, n_tiles, 1, tile)
     xg = xg.reshape(n, n_gb, g_blk, h_pad, cg, w)
-    wg = wg.reshape(n_gb, g_blk, k, cout, cg)
+    wg = wg.reshape(cout, n_gb, g_blk * k * cg).transpose(1, 0, 2)
 
     out = pl.pallas_call(
         kern,
@@ -253,19 +279,22 @@ def deform_conv2d_pallas(
                 lambda ni, pt, gb: (ni, gb, 0, 0, 0, 0),
             ),
             pl.BlockSpec(
-                (1, g_blk, k, cout, cg), lambda ni, pt, gb: (gb, 0, 0, 0, 0)
+                (1, cout, g_blk * k * cg), lambda ni, pt, gb: (gb, 0, 0)
             ),
         ],
         out_specs=pl.BlockSpec(
             (1, cout, tile), lambda ni, pt, gb: (ni, 0, pt)
         ),
         out_shape=jax.ShapeDtypeStruct((n, cout, hw_pad), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((g_blk, k * cg, tile), jnp.float32),
+        ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * n * hw_pad * g * k * (2 * band * cg * w + cg * cout),
+            flops=2 * n * hw_pad * g * k * (2 * rw * cg * w + cg * cout),
             bytes_accessed=n * (hw_pad * g * k * 12 + g * h * w * cg * 2),
             transcendentals=0,
         ),
-    )(lo_t, hi_t, sy, sx, mk, xg, wg)
+    )(lo_t, nw_t, sy, sx, mk, xg, wg)
     # barrier: without it XLA's scoped-vmem assignment tries to keep the
     # whole custom-call result on the VMEM stack when the call is a jit
     # entry (standalone use, verify scripts) and OOMs

@@ -491,8 +491,12 @@ def _window_attention_tiled(
         live = jnp.clip(s - 1, 0, n_rt - 1)
         return jnp.where(occ_[w] > 0, live, 0)
 
-    def pt_of(s):
-        return jnp.clip(s - 1 - n_rt, 0, n_pt - 1)
+    def pt_of(s, occ_, w):
+        # same pinning for the pooled tile: clean windows hold tile 0 so
+        # the per-segment pooled DMAs are skipped (they are never read in
+        # the clean branch)
+        live = jnp.clip(s - 1 - n_rt, 0, n_pt - 1)
+        return jnp.where(occ_[w] > 0, live, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -517,11 +521,11 @@ def _window_attention_tiled(
             ),
             pl.BlockSpec(
                 (1, n_head, SEG_TILE, ch),
-                lambda w, s, occ_, lo_: (w // n_win_per_b, 0, pt_of(s), 0),
+                lambda w, s, occ_, lo_: (w // n_win_per_b, 0, pt_of(s, occ_, w), 0),
             ),
             pl.BlockSpec(
                 (1, n_head, SEG_TILE, ch),
-                lambda w, s, occ_, lo_: (w // n_win_per_b, 0, pt_of(s), 0),
+                lambda w, s, occ_, lo_: (w // n_win_per_b, 0, pt_of(s, occ_, w), 0),
             ),
             pl.BlockSpec(
                 (1, 1, qt), lambda w, s, occ_, lo_: (w // n_win_per_b, 0, 0)
@@ -534,7 +538,7 @@ def _window_attention_tiled(
             ),
             pl.BlockSpec(
                 (1, 1, SEG_TILE),
-                lambda w, s, occ_, lo_: (w // n_win_per_b, 0, pt_of(s)),
+                lambda w, s, occ_, lo_: (w // n_win_per_b, 0, pt_of(s, occ_, w)),
             ),
         ],
         out_specs=pl.BlockSpec(

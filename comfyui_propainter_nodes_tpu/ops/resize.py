@@ -120,6 +120,22 @@ def _phase_plan(in_size: int, out_size: int, align_corners: bool, nearest: bool)
     return P, S, g, pad_lo, pad_hi, terms
 
 
+def _phase_plan_cheap(plan, terms_per_phase: int) -> bool:
+    """Whether a _phase_plan lowers to a small static-op program.
+
+    Bounds BOTH axes of op-count growth: terms per phase (weighted adds)
+    AND the number of distinct strided slices + the P-way interleave.
+    Near-coprime sizes (e.g. 639->640: gcd=1, P=640) satisfy the
+    terms-per-phase bound with ~2 terms each yet would emit O(in_size)
+    slice ops and a 640-way interleave — a trace/compile blowup the
+    take-based fallback avoids (ADVICE r4)."""
+    P, S, g, _, _, terms = plan
+    if len(terms) > terms_per_phase * P:
+        return False
+    n_slices = len({d for _, d, _ in terms})
+    return P <= 32 and n_slices <= 16
+
+
 def _axis_resize_phases(v, in_size: int, out_size: int, axis: int, plan):
     """Apply a _phase_plan along `axis`: strided slices + weighted sum
     per phase, interleave phases. All ops static; exact."""
@@ -197,7 +213,7 @@ def resize_bilinear(
     def axis_lerp(v, size_in, size_out, axis):
         plan = _phase_plan(size_in, size_out, align_corners, nearest=False)
         P, S, g, _, _, terms = plan
-        if len(terms) <= 4 * P:  # ≤4 shift terms per phase: slice form
+        if _phase_plan_cheap(plan, 4):  # small plan: slice form
             return _axis_resize_phases(v, size_in, size_out, axis, plan)
         i0, i1, w1 = _linear_taps(size_in, size_out, align_corners)
         v0 = jnp.take(v, jnp.asarray(i0), axis=axis)
@@ -221,7 +237,7 @@ def resize_nearest(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
     def axis_near(v, size_in, size_out, axis):
         plan = _phase_plan(size_in, size_out, False, nearest=True)
         P, S, g, _, _, terms = plan
-        if len(terms) <= 2 * P:
+        if _phase_plan_cheap(plan, 2):
             return _axis_resize_phases(v, size_in, size_out, axis, plan)
         return jnp.take(
             v, jnp.asarray(_nearest_indices(size_in, size_out)), axis=axis

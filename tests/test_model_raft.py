@@ -117,11 +117,42 @@ def test_raft_bi_unpadded_einsum_matches_fallback(jax_params):
 
     ref_f, ref_b = jraft.raft_bi_forward(jax_params, fj, iters=1)
 
+    import os
+
     prev = _dc._USE_PALLAS
     _dc._USE_PALLAS = True  # activates the einsum lookup path on CPU
+    os.environ["PROPAINTER_TPU_CORR_KERNEL"] = "einsum"
     try:
         assert jraft._use_unpadded_einsum()
         got_f, got_b = jraft.raft_bi_forward(jax_params, fj, iters=1)
+    finally:
+        _dc._USE_PALLAS = prev
+        del os.environ["PROPAINTER_TPU_CORR_KERNEL"]
+
+    np.testing.assert_allclose(np.asarray(got_f), np.asarray(ref_f), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got_b), np.asarray(ref_b), atol=2e-4)
+
+
+def test_raft_bi_lanes_lookup_matches_fallback(jax_params):
+    """The default TPU path (pixels-on-lanes Pallas corr lookup) vs the
+    padded dynamic-slice fallback, end-to-end through raft_bi_forward
+    (interpret mode on CPU)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from comfyui_propainter_nodes_tpu.ops import deform_conv as _dc
+
+    rng = np.random.default_rng(22)
+    b, t, h, w = 1, 3, 64, 96
+    frames = rng.uniform(-1, 1, (b, t, h, w, 3)).astype(np.float32)
+    fj = jnp.asarray(frames)
+
+    ref_f, ref_b = jraft.raft_bi_forward(jax_params, fj, iters=1)
+
+    prev = _dc._USE_PALLAS
+    _dc._USE_PALLAS = True  # activates the lanes lookup path on CPU
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            got_f, got_b = jraft.raft_bi_forward(jax_params, fj, iters=1)
     finally:
         _dc._USE_PALLAS = prev
 
