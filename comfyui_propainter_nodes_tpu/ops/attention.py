@@ -266,16 +266,27 @@ def sparse_window_attention(
     idx = jnp.asarray(_valid_rolled_indices(window_size))
 
     def build_rolled(a, frames=None):
+        # partition-of-roll == shifted-origin partition of ONE circularly
+        # padded tensor: roll(a, -s)[r] = a[(r+s) mod] = ap[r + s + pad].
+        # The four jnp.roll copies (full-tensor materializations, the
+        # attention layer's dominant HBM cost per NOTES_ROUND4 §8) become
+        # four window-partition reads of the same padded buffer.
         if frames is not None:
             a = a[:, frames]
-        rolled = jnp.concatenate(
-            [
-                _window_partition(jnp.roll(a, s, axis=(2, 3)), window_size, n_head)
-                for s in shifts
-            ],
-            axis=4,
+        ap = jnp.concatenate([a[:, :, -eh:], a, a[:, :, :eh]], axis=2)
+        ap = jnp.concatenate(
+            [ap[:, :, :, -ew:], ap, ap[:, :, :, :ew]], axis=3
         )
-        return rolled[:, :, :, :, idx]
+        parts = []
+        for s_y, s_x in shifts:
+            oy = eh - s_y  # 2*eh for the -eh roll, 0 for +eh
+            ox = ew - s_x
+            sl = jax.lax.slice_in_dim(
+                jax.lax.slice_in_dim(ap, oy, oy + new_h, axis=2),
+                ox, ox + new_w, axis=3,
+            )
+            parts.append(_window_partition(sl, window_size, n_head))
+        return jnp.concatenate(parts, axis=4)[:, :, :, :, idx]
 
     # pooled global tokens: depthwise avg conv (weights from checkpoint)
     bt = b * t

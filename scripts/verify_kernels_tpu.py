@@ -175,6 +175,27 @@ def check_corr_lookup() -> None:
             lambda py, co: raft_mod.lookup_corr(py, co, padded=True)
         )(pyr_pad, coords)
         record("corr_lookup_pallas_dma_4x45x80", out_pallas, ref, 1e-4, 1e-4)
+
+        # pixels-on-lanes kernel (the raft_bi default since round 5):
+        # bidirectional pyramid, so compare both directions against the
+        # bidirectional slice-fallback reference
+        from comfyui_propainter_nodes_tpu.ops.pallas.corr_lanes import (
+            build_corr_pyramid_bi_lanes,
+            corr_lookup_lanes,
+        )
+
+        coords_bi = jnp.concatenate([coords, coords], axis=0)
+        dc._USE_PALLAS = False
+        pyr_bi = jax.jit(
+            lambda a, b: raft_mod.build_corr_pyramid_bi(a, b, pad=True)
+        )(f1, f2)
+        ref_bi = jax.jit(
+            lambda py, co: raft_mod.lookup_corr(py, co, padded=True)
+        )(pyr_bi, coords_bi)
+        dc._USE_PALLAS = True
+        pyr_lanes = jax.jit(build_corr_pyramid_bi_lanes)(f1, f2)
+        out_lanes = jax.jit(corr_lookup_lanes)(pyr_lanes, coords_bi)
+        record("corr_lookup_lanes_8x45x80", out_lanes, ref_bi, 2e-3, 2e-3)
     finally:
         dc._USE_PALLAS = old
         if old_env is None:
