@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import Mapping
 
 import jax
@@ -374,6 +375,48 @@ def sparse_window_attention(
         + _qt * n_head * ch * 4
     )
     _kernel_fits = _vmem_est < 12e6
+
+    attn_mode = os.environ.get("PROPAINTER_TPU_ATTN", "segmented")
+
+    if _pallas_enabled() and axis_name is None and attn_mode == "halo":
+        # fully fused form: the kernel consumes the raw token grids
+        # (window partitioning via BlockSpecs), replaces the rolled-K/V
+        # copies with a conditional halo DMA + static survivor bias, and
+        # writes the token grid back (no un-partition pass). See
+        # ops/pallas/window_attention_halo.py.
+        from .pallas.window_attention_halo import window_attention_halo
+
+        k_src = k[:, ti] if ti is not None else k
+        v_src = v[:, ti] if ti is not None else v
+
+        def cpad(a):
+            a2 = jnp.concatenate([a[:, :, -eh:], a, a[:, :, :eh]], axis=2)
+            return jnp.concatenate(
+                [a2[:, :, :, -ew:], a2, a2[:, :, :, :ew]], axis=3
+            )
+
+        pk = pool_k_h[:, :, ti] if ti is not None else pool_k_h
+        pv = pool_v_h[:, :, ti] if ti is not None else pool_v_h
+
+        in_tind = np.zeros(t, np.bool_)
+        in_tind[np.asarray(t_ind) if t_ind is not None else slice(None)] = True
+        bias_w = jnp.repeat(
+            jnp.where(jnp.asarray(in_tind)[None] & tv, 0.0, -1e9),
+            wh * ww, axis=1,
+        )  # [B, T*wsz]
+        bias_sel = jnp.where(tv_sel, 0.0, -1e9)  # [B, T_sel]
+        bias_p = jnp.repeat(bias_sel, p_h * p_w, axis=1)
+
+        out = window_attention_halo(
+            q, k, v, cpad(k_src), cpad(v_src),
+            pk.reshape(b, n_head, t_sel * p_h * p_w, ch),
+            pv.reshape(b, n_head, t_sel * p_h * p_w, ch),
+            occ.reshape(b, n_wh, n_ww),
+            bias_w, bias_sel, bias_p,
+            window_size=window_size, n_head=n_head,
+        )
+        out = out[:, :, :h, :w]
+        return linear(p, pre + ".proj", out)
 
     if _pallas_enabled() and axis_name is None and _kernel_fits:
         # fused occupancy-sparse kernel: clean windows skip the big

@@ -169,6 +169,61 @@ def section_raft():
     os.environ.pop("PROPAINTER_TPU_CORR_KERNEL", None)
 
 
+def section_attn():
+    """Attribute the ~19 ms attention layer: full layer vs kernel-only
+    vs the shared data-movement pieces (NOTES_ROUND4 §8)."""
+    from comfyui_propainter_nodes_tpu.ops import attention as att
+    from comfyui_propainter_nodes_tpu.utils import weights as wz
+
+    rng = np.random.default_rng(3)
+    b, t, fh, fw, c = 5, 13, 30, 54, 512  # bench token shapes
+    l_t = 9
+    dt = jnp.bfloat16
+    params = {
+        k: jnp.asarray(v, dt)
+        for k, v in wz.get_params("inpaint_generator", allow_random=True).items()
+        if k.startswith("transformers.")
+    }
+    pre = "transformers.transformer.0.attention"
+    x = jnp.asarray(
+        (rng.standard_normal((b, t, fh, fw, c)) * 0.1).astype(np.float32), dt
+    )
+    mask = jnp.zeros((b, l_t, fh, fw, 1), dt).at[:, :, 8:14, 10:24].set(1.0)
+    t_ind = np.arange(0, t, 2)
+
+    full = jax.jit(
+        lambda p, x_, m_: att.sparse_window_attention(p, pre, x_, m_, t_ind)
+    )
+    ms = timeit(full, params, x, mask)
+    print(f"attention layer FULL [{b},{t},{fh}x{fw},{c}]: {ms:.2f} ms")
+
+    q = att.linear(params, pre + ".query", x)
+    k = att.linear(params, pre + ".key", x)
+    ms = timeit(
+        jax.jit(lambda a: att._window_partition(a, (5, 9), 4)), q
+    )
+    print(f"  window partition (x1 tensor): {ms:.2f} ms")
+
+    def rolled_only(a):
+        wh, ww = 5, 9
+        eh, ew = 3, 5
+        idx = jnp.asarray(att._valid_rolled_indices((wh, ww)))
+        ap = jnp.concatenate([a[:, :, -eh:], a, a[:, :, :eh]], axis=2)
+        ap = jnp.concatenate([ap[:, :, :, -ew:], ap, ap[:, :, :, :ew]], axis=3)
+        parts = []
+        for s_y, s_x in [(-eh, -ew), (-eh, ew), (eh, -ew), (eh, ew)]:
+            oy, ox = eh - s_y, ew - s_x
+            sl = jax.lax.slice_in_dim(
+                jax.lax.slice_in_dim(ap, oy, oy + fh, axis=2),
+                ox, ox + fw, axis=3,
+            )
+            parts.append(att._window_partition(sl, (wh, ww), 4))
+        return jnp.concatenate(parts, axis=4)[:, :, :, :, idx]
+
+    ms = timeit(jax.jit(lambda a: rolled_only(a[:, ::2])), k)
+    print(f"  rolled build (padded-slice form, t_ind frames, x1): {ms:.2f} ms")
+
+
 def main():
     print(f"backend: {jax.default_backend()} {jax.devices()}")
     if "deform" in SECTIONS:
@@ -177,6 +232,8 @@ def main():
         section_corr()
     if "raft" in SECTIONS:
         section_raft()
+    if "attn" in SECTIONS:
+        section_attn()
 
 
 if __name__ == "__main__":

@@ -168,3 +168,51 @@ def test_tiled_kernel_matches_single(monkeypatch):
             wa._window_attention_tiled(*args, n_win_per_b=n_win_per_b)
         )
     np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-4)
+
+
+def test_halo_attention_layer_matches_xla():
+    """The fused token-grid (halo) kernel vs the XLA both-branch layer:
+    padded grids, t_ind subset, padded-frame validity, mixed clean/
+    occupied windows."""
+    import os
+
+    from comfyui_propainter_nodes_tpu.ops import attention as att
+    from comfyui_propainter_nodes_tpu.ops import deform_conv as _dc
+    from comfyui_propainter_nodes_tpu.utils.weights import random_params
+
+    rng = np.random.default_rng(11)
+    b, t, fh, fw, c = 2, 6, 12, 20, 512  # pads to (15, 27) token grid
+    l_t = 4
+    full = random_params("inpaint_generator")
+    p = {
+        k: jnp.asarray(v)
+        for k, v in full.items()
+        if k.startswith("transformers.transformer.0.attention")
+    }
+    pre = "transformers.transformer.0.attention"
+    x = jnp.asarray(
+        rng.standard_normal((b, t, fh, fw, c)).astype(np.float32) * 0.1
+    )
+    mask = jnp.zeros((b, l_t, fh, fw, 1)).at[:, :, 3:7, 4:12].set(1.0)
+    t_ind = np.arange(0, t, 2)
+    tv = jnp.asarray([True] * 5 + [False])
+
+    ref = att.sparse_window_attention(
+        p, pre, x, mask, t_ind, t_valid_mask=tv
+    )
+
+    prev = _dc._USE_PALLAS
+    _dc._USE_PALLAS = True
+    os.environ["PROPAINTER_TPU_ATTN"] = "halo"
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            out = att.sparse_window_attention(
+                p, pre, x, mask, t_ind, t_valid_mask=tv
+            )
+    finally:
+        _dc._USE_PALLAS = prev
+        os.environ.pop("PROPAINTER_TPU_ATTN", None)
+
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=2e-4, rtol=1e-3
+    )
