@@ -232,7 +232,10 @@ def deform_conv2d_pallas(
     # f32 operands double both the x block and the per-iteration stack;
     # g-blocking (n_gb=2, gb iterating fastest with out-block
     # accumulation) halves the x block to compensate.
+    import os
+
     n_gb = 1 if x.dtype == jnp.bfloat16 else 2
+    n_gb = int(os.environ.get("PROPAINTER_TPU_DEFORM_GB", n_gb))
     g_blk = g // n_gb if g % n_gb == 0 else g
     n_gb = g // g_blk
     grid = (n, n_tiles, n_gb)

@@ -191,11 +191,29 @@ def section_attn():
     mask = jnp.zeros((b, l_t, fh, fw, 1), dt).at[:, :, 8:14, 10:24].set(1.0)
     t_ind = np.arange(0, t, 2)
 
-    full = jax.jit(
-        lambda p, x_, m_: att.sparse_window_attention(p, pre, x_, m_, t_ind)
-    )
-    ms = timeit(full, params, x, mask)
-    print(f"attention layer FULL [{b},{t},{fh}x{fw},{c}]: {ms:.2f} ms")
+    for mode in ("segmented", "halo", "xla"):
+        if mode == "xla":
+            os.environ["PROPAINTER_TPU_PALLAS_SAVE"] = "x"  # marker only
+        os.environ["PROPAINTER_TPU_ATTN"] = mode
+        from comfyui_propainter_nodes_tpu.ops import deform_conv as _dc
+
+        prev = _dc._USE_PALLAS
+        if mode == "xla":
+            _dc._USE_PALLAS = False
+        try:
+            full = jax.jit(
+                lambda p, x_, m_: att.sparse_window_attention(
+                    p, pre, x_, m_, t_ind
+                )
+            )
+            ms = timeit(full, params, x, mask)
+            print(
+                f"attention layer FULL [{b},{t},{fh}x{fw},{c}] "
+                f"[{mode}]: {ms:.2f} ms"
+            )
+        finally:
+            _dc._USE_PALLAS = prev
+    os.environ.pop("PROPAINTER_TPU_ATTN", None)
 
     q = att.linear(params, pre + ".query", x)
     k = att.linear(params, pre + ".key", x)
@@ -222,6 +240,17 @@ def section_attn():
 
     ms = timeit(jax.jit(lambda a: rolled_only(a[:, ::2])), k)
     print(f"  rolled build (padded-slice form, t_ind frames, x1): {ms:.2f} ms")
+
+    ms = timeit(
+        jax.jit(
+            lambda p, x_: att.fusion_feed_forward(
+                p, "transformers.transformer.0.mlp",
+                x_.reshape(b * t, fh, fw, c), (90, 160),
+            )
+        ),
+        params, x,
+    )
+    print(f"  FFN [{b*t},{fh},{fw},{c}]: {ms:.2f} ms")
 
 
 def main():

@@ -204,6 +204,46 @@ def check_corr_lookup() -> None:
             os.environ["PROPAINTER_TPU_CORR_KERNEL"] = old_env
 
 
+def check_halo_attention() -> None:
+    """Fused token-grid (halo) attention vs the XLA both-branch layer."""
+    from comfyui_propainter_nodes_tpu.ops import attention as att
+    from comfyui_propainter_nodes_tpu.ops import deform_conv as dc
+    from comfyui_propainter_nodes_tpu.utils.weights import random_params
+
+    rng = np.random.default_rng(11)
+    b, t, fh, fw, c = 2, 8, 30, 54, 512  # bench token grid
+    l_t = 5
+    full = random_params("inpaint_generator")
+    p = {
+        k: jnp.asarray(v)
+        for k, v in full.items()
+        if k.startswith("transformers.transformer.0.attention")
+    }
+    pre = "transformers.transformer.0.attention"
+    x = jnp.asarray(
+        rng.standard_normal((b, t, fh, fw, c)).astype(np.float32) * 0.1
+    )
+    mask = jnp.zeros((b, l_t, fh, fw, 1)).at[:, :, 8:14, 10:24].set(1.0)
+    t_ind = np.arange(0, t, 2)
+    tv = jnp.asarray([True] * (t - 1) + [False])
+
+    prev = dc._USE_PALLAS
+    old_env = os.environ.get("PROPAINTER_TPU_ATTN")
+    try:
+        dc._USE_PALLAS = False
+        ref = att.sparse_window_attention(p, pre, x, mask, t_ind, t_valid_mask=tv)
+        dc._USE_PALLAS = True
+        os.environ["PROPAINTER_TPU_ATTN"] = "halo"
+        out = att.sparse_window_attention(p, pre, x, mask, t_ind, t_valid_mask=tv)
+        record("attention_halo_2x8x30x54", out, ref, 5e-3, 5e-3)
+    finally:
+        dc._USE_PALLAS = prev
+        if old_env is None:
+            os.environ.pop("PROPAINTER_TPU_ATTN", None)
+        else:
+            os.environ["PROPAINTER_TPU_ATTN"] = old_env
+
+
 def check_window_attention() -> None:
     from comfyui_propainter_nodes_tpu.ops import attention as att
     from comfyui_propainter_nodes_tpu.ops import deform_conv as dc
@@ -281,6 +321,7 @@ def main() -> int:
     check_deform_conv()
     check_corr_lookup()
     check_window_attention()
+    check_halo_attention()
     failed = [r for r in RESULTS if not r.get("pass", True)]
     print(
         json.dumps(
