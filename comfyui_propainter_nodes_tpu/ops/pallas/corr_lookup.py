@@ -229,7 +229,7 @@ def corr_window_lookup_pallas(
             pl.BlockSpec((TILE, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # corr stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # corr stays in HBM
         ],
         out_specs=pl.BlockSpec((TILE, WIN - 1, WIN - 1), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((m_pad, WIN - 1, WIN - 1), jnp.float32),
