@@ -440,6 +440,26 @@ class Pipeline:
         )
 
         def f(prm, frames):
+            if total_vol > seq_budget and chunk_vol <= seq_budget:
+                # CHUNK-sequential map: the batched-all-chunks form blows
+                # the volume budget (e.g. the 80-frame BASELINE config 3:
+                # 7 chunks x 1.7GB), but ONE chunk's 24-prob batch fits —
+                # map sequentially over chunks, keeping the MXU-filling
+                # within-chunk batching (one compiled body, one chunk's
+                # volumes live at a time). Mirrors the reference's own
+                # chunk loop (propainter_inference.py:75-93).
+                fdt = jnp.bfloat16 if cfg.use_bf16 else jnp.float32
+                batch = chunk_batch(frames)  # [n_chunks, chunk_len, H, W, 3]
+                ff, fb = jax.lax.map(
+                    lambda ck: tuple(
+                        a.astype(fdt)
+                        for a in raft.raft_bi_forward(
+                            prm, ck[None], iters=cfg.raft_iter
+                        )
+                    ),
+                    batch,
+                )
+                return unbatch(ff[:, 0], fb[:, 0])
             if total_vol > seq_budget:
                 # PER-PAIR sequential map: even one chunk's batched
                 # volumes don't fit at 720p+ (the all-pairs einsum's f32

@@ -360,3 +360,36 @@ def test_flow_stage_sequential_chunk_map_matches_batched(monkeypatch, jax_params
     np.testing.assert_allclose(
         np.asarray(seq[1]), np.asarray(ref[1]), atol=2e-4, rtol=1e-3
     )
+
+
+def test_flow_stage_chunk_sequential_map_matches_batched(monkeypatch, jax_params):
+    """The middle memory regime: all-chunks batching blows the volume
+    budget but ONE chunk's batch fits (BASELINE config 3's 80f stack) —
+    the stage maps sequentially over chunks with within-chunk batching
+    and must reproduce the fully batched result."""
+    from comfyui_propainter_nodes_tpu.config import PipelineConfig
+    from comfyui_propainter_nodes_tpu.pipeline.stages import Pipeline
+    from comfyui_propainter_nodes_tpu.utils import weights as wz
+
+    rng = np.random.default_rng(4)
+    t, h, w = 16, 64, 96
+    frames = jnp.asarray(
+        rng.uniform(-1, 1, (1, t, h, w, 3)).astype(np.float32)
+    )
+    cfg = PipelineConfig(raft_iter=2, fp16="disable", process_size=(w, h))
+    params = [
+        wz.get_params(m, allow_random=True)
+        for m in ("raft", "flow_completion", "inpaint_generator")
+    ]
+    # budget between one chunk's volume (~1.2MB at this size) and the
+    # total (~2.4MB): selects the chunk-sequential map
+    monkeypatch.setenv("PROPAINTER_TPU_RAFT_ALLPAIRS_BYTES", "2e6")
+    seq = Pipeline(*params, cfg).compute_flow(frames)
+    monkeypatch.setenv("PROPAINTER_TPU_RAFT_ALLPAIRS_BYTES", "1e18")
+    ref = Pipeline(*params, cfg).compute_flow(frames)
+    np.testing.assert_allclose(
+        np.asarray(seq[0]), np.asarray(ref[0]), atol=2e-4, rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(seq[1]), np.asarray(ref[1]), atol=2e-4, rtol=1e-3
+    )
