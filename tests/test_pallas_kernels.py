@@ -155,3 +155,91 @@ def test_pallas_corr_lanes_matches_einsum_lookup():
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), atol=2e-4, rtol=2e-4
     )
+
+
+def test_pallas_deform_conv_bf16_and_odd_groups():
+    """bf16 operands + a (g=2, cg=4) grouping and non-tile-aligned HW:
+    the dynamic-row-window kernel must match the XLA oracle within bf16
+    tolerance."""
+    rng = np.random.default_rng(7)
+    n, h, w = 1, 23, 31  # hw = 713: pads the pixel tile
+    cin, cout, g = 8, 16, 2
+    x = rng.standard_normal((n, h, w, cin)).astype(np.float32)
+    off = (rng.standard_normal((n, h, w, g, 9, 2)) * 4).astype(np.float32)
+    mask = rng.uniform(0, 1, (n, h, w, g, 9)).astype(np.float32)
+    wgt = (rng.standard_normal((3, 3, cin, cout)) * 0.2).astype(np.float32)
+
+    ref = deform_conv2d(
+        jnp.asarray(x), jnp.asarray(off), jnp.asarray(mask),
+        jnp.asarray(wgt), None,
+    )
+    with pltpu.force_tpu_interpret_mode():
+        out = deform_conv2d_pallas(
+            jnp.asarray(x, jnp.bfloat16), jnp.asarray(off, jnp.bfloat16),
+            jnp.asarray(mask, jnp.bfloat16), jnp.asarray(wgt, jnp.bfloat16),
+            None,
+        )
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref), atol=0.15, rtol=0.1
+    )
+
+
+def test_pallas_corr_lanes_all_oob_coords():
+    """Windows fully out of range must contribute exact zeros (the
+    grid_sample 'zeros' semantics the tent weights encode)."""
+    from comfyui_propainter_nodes_tpu.ops.pallas.corr_lanes import (
+        build_corr_pyramid_bi_lanes,
+        corr_lookup_lanes,
+    )
+
+    rng = np.random.default_rng(9)
+    n, h8, w8, c = 1, 16, 24, 8
+    f1 = jnp.asarray(rng.standard_normal((n, h8, w8, c)).astype(np.float32))
+    f2 = jnp.asarray(rng.standard_normal((n, h8, w8, c)).astype(np.float32))
+    coords = jnp.full((2 * n, h8, w8, 2), -50.0)  # far outside every level
+
+    pyr = build_corr_pyramid_bi_lanes(f1, f2)
+    with pltpu.force_tpu_interpret_mode():
+        out = corr_lookup_lanes(pyr, coords)
+    np.testing.assert_array_equal(np.asarray(out), 0.0)
+
+
+def test_halo_attention_all_clean_and_no_tind():
+    """All-clean windows (halo DMA never issued) and t_ind=None: the
+    fused kernel must still match the XLA layer."""
+    import os
+
+    from comfyui_propainter_nodes_tpu.ops import attention as att
+    from comfyui_propainter_nodes_tpu.ops import deform_conv as _dc
+    from comfyui_propainter_nodes_tpu.utils.weights import random_params
+
+    rng = np.random.default_rng(13)
+    b, t, fh, fw, c = 1, 4, 10, 18, 512
+    l_t = 3
+    full = random_params("inpaint_generator")
+    p = {
+        k: jnp.asarray(v)
+        for k, v in full.items()
+        if k.startswith("transformers.transformer.0.attention")
+    }
+    pre = "transformers.transformer.0.attention"
+    x = jnp.asarray(
+        rng.standard_normal((b, t, fh, fw, c)).astype(np.float32) * 0.1
+    )
+    mask = jnp.zeros((b, l_t, fh, fw, 1))  # every window clean
+
+    ref = att.sparse_window_attention(p, pre, x, mask, None)
+
+    prev = _dc._USE_PALLAS
+    _dc._USE_PALLAS = True
+    os.environ["PROPAINTER_TPU_ATTN"] = "halo"
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            out = att.sparse_window_attention(p, pre, x, mask, None)
+    finally:
+        _dc._USE_PALLAS = prev
+        os.environ.pop("PROPAINTER_TPU_ATTN", None)
+
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=2e-4, rtol=1e-3
+    )
