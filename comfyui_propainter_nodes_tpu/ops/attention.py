@@ -378,16 +378,10 @@ def sparse_window_attention(
 
     attn_mode = os.environ.get("PROPAINTER_TPU_ATTN", "segmented")
 
-    # the halo kernel's per-window VMEM is resolution-INDEPENDENT (the
-    # halo block is per-window) except the pooled-token block, which
-    # grows with the pooled grid; gate on it
-    _pl_bytes = 2 * _pl_est * n_head * ch * _esz
-    if (
-        _pallas_enabled()
-        and axis_name is None
-        and attn_mode == "halo"
-        and _pl_bytes < 5e6
-    ):
+    # the halo kernel's per-window VMEM is resolution-INDEPENDENT: the
+    # halo block is per-window and the pooled segment is DMA'd in
+    # bounded chunks — no size gate needed
+    if _pallas_enabled() and axis_name is None and attn_mode == "halo":
         # fully fused form: the kernel consumes the raw token grids
         # (window partitioning via BlockSpecs), replaces the rolled-K/V
         # copies with a conditional halo DMA + static survivor bias, and

@@ -71,19 +71,21 @@ def _kernel(
     q_ref,      # [1, T, wh, ww, C]
     k_ref,      # [1, T, wh, ww, C]
     v_ref,      # [1, T, wh, ww, C]
-    pk_ref,     # [1, n_head, PL, ch]
-    pv_ref,     # [1, n_head, PL, ch]
     bw_ref,     # [1, 1, QT] f32
     bh_ref,     # [1, T_sel, hh*hw] f32 (static survivor mask + validity)
-    bp_ref,     # [1, 1, PL] f32
+    bp_ref,     # [1, 1, PLpad] f32
     khalo_ref,  # [B, T_sel, Hp+2eh, Wp+2ew, C] (HBM, manual DMA)
     vhalo_ref,
+    pk_ref,     # [B, n_head, PLpad, ch] (HBM, chunked manual DMA)
+    pv_ref,
     out_ref,    # [1, T, wh, ww, C]
     hk_scr,     # [T_sel, hh, hw, C] VMEM
     hv_scr,
+    pk_scr,     # [n_head, pt_tile, ch] VMEM
+    pv_scr,
     sems,       # DMA((2,))
     *,
-    t, t_sel, wh, ww, eh, ew, n_head, ch, k_tile,
+    t, t_sel, wh, ww, eh, ew, n_head, ch, k_tile, pt_tile,
 ):
     b_i = pl.program_id(0)
     wy = pl.program_id(1)
@@ -118,44 +120,75 @@ def _kernel(
         hv = hv_scr[...].reshape(t_sel * hh * hw, c)
         bias_h = bh_ref[0].reshape(1, t_sel * hh * hw)
         bias_w = bw_ref[0, 0][None, :]  # [1, QT]
-        bias_p = bp_ref[0, 0][None, :]
 
-        outs = []
-        for h in range(n_head):
+        def flash(h, state, ks, vs, bias, seg_len):
+            m, l, acc = state
             sl = slice(h * ch, (h + 1) * ch)
             q = q_all[:, sl]
-            m = jnp.full((qt, 1), NEG, jnp.float32)
-            l = jnp.zeros((qt, 1), jnp.float32)
-            acc = jnp.zeros((qt, ch), jnp.float32)
-            segs = (
-                (k_all[:, sl], v_all[:, sl], bias_w, qt),
-                (hk[:, sl], hv[:, sl], bias_h, t_sel * hh * hw),
-                (pk_ref[0, h], pv_ref[0, h], bias_p, pk_ref.shape[2]),
-            )
-            for ks, vs, bias, seg_len in segs:
-                for s0 in range(0, seg_len, k_tile):
-                    slen = min(k_tile, seg_len - s0)
-                    kk = ks[s0 : s0 + slen, :]
-                    vv = vs[s0 : s0 + slen, :]
-                    s = (
-                        jax.lax.dot_general(
-                            q, kk, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                        )
-                        * scale
-                        + bias[:, s0 : s0 + slen]
-                    )
-                    m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
-                    alpha = jnp.exp(m - m_new)
-                    p = jnp.exp(s - m_new)
-                    l = l * alpha + jnp.sum(p, axis=1, keepdims=True)
-                    acc = acc * alpha + jax.lax.dot_general(
-                        p.astype(vv.dtype), vv, (((1,), (0,)), ((), ())),
+            for s0 in range(0, seg_len, k_tile):
+                slen = min(k_tile, seg_len - s0)
+                kk = ks[s0 : s0 + slen, :]
+                vv = vs[s0 : s0 + slen, :]
+                s = (
+                    jax.lax.dot_general(
+                        q, kk, (((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     )
-                    m = m_new
-            outs.append(acc / l)
-        out = jnp.concatenate(outs, axis=1).astype(out_ref.dtype)
+                    * scale
+                    + bias[:, s0 : s0 + slen]
+                )
+                m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+                alpha = jnp.exp(m - m_new)
+                p = jnp.exp(s - m_new)
+                l = l * alpha + jnp.sum(p, axis=1, keepdims=True)
+                acc = acc * alpha + jax.lax.dot_general(
+                    p.astype(vv.dtype), vv, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                m = m_new
+            return m, l, acc
+
+        # VMEM-resident segments first (window keys + halo) per head
+        states = []
+        for h in range(n_head):
+            st = (
+                jnp.full((qt, 1), NEG, jnp.float32),
+                jnp.zeros((qt, 1), jnp.float32),
+                jnp.zeros((qt, ch), jnp.float32),
+            )
+            sl = slice(h * ch, (h + 1) * ch)
+            st = flash(h, st, k_all[:, sl], v_all[:, sl], bias_w, qt)
+            st = flash(h, st, hk[:, sl], hv[:, sl], bias_h, t_sel * hh * hw)
+            states.append(st)
+
+        # pooled segment: DMA'd in bounded chunks (its size grows with
+        # the pooled grid — resolution-dependent — so it cannot be a
+        # resident block at 720p+); chunk loop OUTSIDE the head loop so
+        # each chunk is fetched once
+        pl_pad = pk_ref.shape[2]
+        n_pt = pl_pad // pt_tile
+        for i in range(n_pt):
+            cpk = pltpu.make_async_copy(
+                pk_ref.at[b_i, :, pl.ds(i * pt_tile, pt_tile), :],
+                pk_scr, sems.at[0],
+            )
+            cpv = pltpu.make_async_copy(
+                pv_ref.at[b_i, :, pl.ds(i * pt_tile, pt_tile), :],
+                pv_scr, sems.at[1],
+            )
+            cpk.start()
+            cpv.start()
+            cpk.wait()
+            cpv.wait()
+            bias_pc = bp_ref[0, 0][None, i * pt_tile : (i + 1) * pt_tile]
+            for h in range(n_head):
+                states[h] = flash(
+                    h, states[h], pk_scr[h], pv_scr[h], bias_pc, pt_tile
+                )
+
+        out = jnp.concatenate(
+            [acc / l for (m, l, acc) in states], axis=1
+        ).astype(out_ref.dtype)
         out_ref[0] = out.reshape(t, wh, ww, c)
 
     @pl.when(jnp.logical_not(occupied))
@@ -222,9 +255,23 @@ def window_attention_halo(
     hh, hw = wh + 2 * eh, ww + 2 * ew
     hbias = halo_bias_static(window_size)
 
+    # pooled segment rides bounded DMA chunks (its length grows with
+    # resolution); pad it to a chunk multiple with -1e9-bias keys
+    pl_len = pool_k.shape[2]
+    pt_tile = min(1024, -(-pl_len // 128) * 128)
+    pl_pad = -(-pl_len // pt_tile) * pt_tile
+    bias_p = bias_p.astype(jnp.float32)
+    if pl_pad != pl_len:
+        padp = ((0, 0), (0, 0), (0, pl_pad - pl_len), (0, 0))
+        pool_k = jnp.pad(pool_k, padp)
+        pool_v = jnp.pad(pool_v, padp)
+        bias_p = jnp.pad(
+            bias_p, ((0, 0), (0, pl_pad - pl_len)), constant_values=NEG
+        )
+
     kern = functools.partial(
         _kernel, t=t, t_sel=t_sel, wh=wh, ww=ww, eh=eh, ew=ew,
-        n_head=n_head, ch=ch, k_tile=k_tile,
+        n_head=n_head, ch=ch, k_tile=k_tile, pt_tile=pt_tile,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -240,23 +287,17 @@ def window_attention_halo(
                 (1, t, wh, ww, c), lambda bi, wy, wx, occ_: (bi, 0, wy, wx, 0)
             ),
             pl.BlockSpec(
-                (1, n_head, pool_k.shape[2], ch),
-                lambda bi, wy, wx, occ_: (bi, 0, 0, 0),
-            ),
-            pl.BlockSpec(
-                (1, n_head, pool_k.shape[2], ch),
-                lambda bi, wy, wx, occ_: (bi, 0, 0, 0),
-            ),
-            pl.BlockSpec(
                 (1, 1, t * wh * ww), lambda bi, wy, wx, occ_: (bi, 0, 0)
             ),
             pl.BlockSpec(
                 (1, t_sel, hh * hw), lambda bi, wy, wx, occ_: (bi, 0, 0)
             ),
             pl.BlockSpec(
-                (1, 1, pool_k.shape[2]), lambda bi, wy, wx, occ_: (bi, 0, 0)
+                (1, 1, pl_pad), lambda bi, wy, wx, occ_: (bi, 0, 0)
             ),
             pl.BlockSpec(memory_space=pl.ANY),  # khalo stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),  # pooled K/V chunked DMA
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
@@ -265,11 +306,13 @@ def window_attention_halo(
         scratch_shapes=[
             pltpu.VMEM((t_sel, hh, hw, c), q.dtype),
             pltpu.VMEM((t_sel, hh, hw, c), q.dtype),
+            pltpu.VMEM((n_head, pt_tile, ch), pool_k.dtype),
+            pltpu.VMEM((n_head, pt_tile, ch), pool_k.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     qt = t * wh * ww
-    kk_tot = qt + t_sel * hh * hw + pool_k.shape[2]
+    kk_tot = qt + t_sel * hh * hw + pl_pad
     return pl.pallas_call(
         kern,
         grid_spec=grid_spec,
@@ -281,12 +324,12 @@ def window_attention_halo(
         ),
     )(
         occ.astype(jnp.int32),
-        q, k, v, pool_k, pool_v,
+        q, k, v,
         bias_w.astype(jnp.float32)[:, None],
         (
             jnp.asarray(hbias)[None, None, :]
             + bias_hv.astype(jnp.float32)[:, :, None]
         ),
-        bias_p.astype(jnp.float32)[:, None],
-        khalo, vhalo,
+        bias_p[:, None],
+        khalo, vhalo, pool_k, pool_v,
     )
