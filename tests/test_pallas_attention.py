@@ -216,3 +216,44 @@ def test_halo_attention_layer_matches_xla():
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), atol=2e-4, rtol=1e-3
     )
+
+
+def test_halo_attention_multi_chunk_pooled():
+    """A token grid large enough that the pooled segment spans >1 DMA
+    chunk (the 720p+ regime the chunking exists for)."""
+    import os
+
+    from comfyui_propainter_nodes_tpu.ops import attention as att
+    from comfyui_propainter_nodes_tpu.ops import deform_conv as _dc
+    from comfyui_propainter_nodes_tpu.utils.weights import random_params
+
+    rng = np.random.default_rng(17)
+    b, t, fh, fw, c = 1, 8, 40, 56, 512  # pool grid 10x14 x 8 sel frames
+    l_t = 5
+    full = random_params("inpaint_generator")
+    p = {
+        k: jnp.asarray(v)
+        for k, v in full.items()
+        if k.startswith("transformers.transformer.0.attention")
+    }
+    pre = "transformers.transformer.0.attention"
+    x = jnp.asarray(
+        rng.standard_normal((b, t, fh, fw, c)).astype(np.float32) * 0.1
+    )
+    mask = jnp.zeros((b, l_t, fh, fw, 1)).at[:, :, 10:20, 15:35].set(1.0)
+
+    ref = att.sparse_window_attention(p, pre, x, mask, None)
+
+    prev = _dc._USE_PALLAS
+    _dc._USE_PALLAS = True
+    os.environ["PROPAINTER_TPU_ATTN"] = "halo"
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            out = att.sparse_window_attention(p, pre, x, mask, None)
+    finally:
+        _dc._USE_PALLAS = prev
+        os.environ.pop("PROPAINTER_TPU_ATTN", None)
+
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=2e-4, rtol=1e-3
+    )
