@@ -56,7 +56,9 @@ def init_backend_with_retry(retries: int = 5, backoff_s: float = 20.0):
                 f"{type(e).__name__}: {e}"
             )
             try:
-                jax.clear_backends()
+                import jax.extend.backend as _jb
+
+                _jb.clear_backends()
             except Exception:
                 pass
             if attempt < retries - 1:
