@@ -176,9 +176,11 @@ def main() -> None:
     log(f"warmup (incl. compile): {warmup_s:.1f}s")
 
     profiling.reset()
-    # tunneled-TPU wall times are noisy (~±15%); headline = MEDIAN of 3
-    # (best-of-N would overstate vs the BASELINE target); min also logged
-    reps = int(os.environ.get("BENCH_REPS", "3"))
+    # tunneled-TPU wall times are noisy (measured rep spread up to 2x:
+    # e.g. [2.94, 1.82, 3.87]s for a 1.57s device program); headline =
+    # MEDIAN of 7 (best-of-N would overstate vs the BASELINE target, and
+    # a 3-rep median loses ~1 f/s to a single congested rep); min logged
+    reps = int(os.environ.get("BENCH_REPS", "7"))
     times = []
     failures = 0
     for _ in range(reps):

@@ -297,6 +297,13 @@ def deform_conv2d_pallas(
             bytes_accessed=n * (hw_pad * g * k * 12 + g * h * w * cg * 2),
             transcendentals=0,
         ),
+        # XLA's scoped-vmem accounting of this call is batch-dependent
+        # in ways the 16MB default doesn't survive (N=12 standalone jit
+        # measured 17.69M while N=2 fits; NOTES_ROUND4 §7's non-monotone
+        # lesson). v5e has 128MB VMEM — give the kernel real headroom.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
     )(lo_t, nw_t, sy, sx, mk, xg, wg)
     # barrier: without it XLA's scoped-vmem assignment tries to keep the
     # whole custom-call result on the VMEM stack when the call is a jit

@@ -68,9 +68,9 @@ def halo_bias_static(window_size: tuple[int, int]) -> np.ndarray:
 
 def _kernel(
     occ_ref,    # [B, nwh, nww] int32 (scalar prefetch)
-    q_ref,      # [1, T, wh, ww, C]
-    k_ref,      # [1, T, wh, ww, C]
-    v_ref,      # [1, T, wh, ww, C]
+    q_ref,      # [1, T, 1, wh, 1, ww, C] (7-D window view: the last two
+    k_ref,      #   block dims equal the full array dims, satisfying the
+    v_ref,      #   Mosaic tiling rule a 5-D (.., wh, ww, C) block cannot)
     bw_ref,     # [1, 1, QT] f32
     bh_ref,     # [1, T_sel, hh*hw] f32 (static survivor mask + validity)
     bp_ref,     # [1, 1, PLpad] f32
@@ -78,7 +78,7 @@ def _kernel(
     vhalo_ref,
     pk_ref,     # [B, n_head, PLpad, ch] (HBM, chunked manual DMA)
     pv_ref,
-    out_ref,    # [1, T, wh, ww, C]
+    out_ref,    # [1, T, 1, wh, 1, ww, C]
     hk_scr,     # [T_sel, hh, hw, C] VMEM
     hv_scr,
     pk_scr,     # [n_head, pt_tile, ch] VMEM
@@ -189,7 +189,7 @@ def _kernel(
         out = jnp.concatenate(
             [acc / l for (m, l, acc) in states], axis=1
         ).astype(out_ref.dtype)
-        out_ref[0] = out.reshape(t, wh, ww, c)
+        out_ref[0] = out.reshape(t, 1, wh, 1, ww, c)
 
     @pl.when(jnp.logical_not(occupied))
     def _():
@@ -222,7 +222,7 @@ def _kernel(
                 )
             )
         out = jnp.concatenate(outs, axis=1).astype(out_ref.dtype)
-        out_ref[0] = out.reshape(t, wh, ww, c)
+        out_ref[0] = out.reshape(t, 1, wh, 1, ww, c)
 
 
 @functools.partial(
@@ -273,19 +273,22 @@ def window_attention_halo(
         _kernel, t=t, t_sel=t_sel, wh=wh, ww=ww, eh=eh, ew=ew,
         n_head=n_head, ch=ch, k_tile=k_tile, pt_tile=pt_tile,
     )
+    # q/k/v ride a FREE 7-D window view [B, T, nwh, wh, nww, ww, C]
+    # (contiguous-axis split, no data movement): its (1,t,1,wh,1,ww,c)
+    # blocks have last-two dims equal to the full array dims, which the
+    # 5-D (.., wh, ww, c) block shape cannot satisfy under Mosaic's
+    # divisible-by-(8,128)-or-full tiling rule.
+    win_spec = pl.BlockSpec(
+        (1, t, 1, wh, 1, ww, c),
+        lambda bi, wy, wx, occ_: (bi, 0, wy, 0, wx, 0, 0),
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b, nwh, nww),
         in_specs=[
-            pl.BlockSpec(
-                (1, t, wh, ww, c), lambda bi, wy, wx, occ_: (bi, 0, wy, wx, 0)
-            ),
-            pl.BlockSpec(
-                (1, t, wh, ww, c), lambda bi, wy, wx, occ_: (bi, 0, wy, wx, 0)
-            ),
-            pl.BlockSpec(
-                (1, t, wh, ww, c), lambda bi, wy, wx, occ_: (bi, 0, wy, wx, 0)
-            ),
+            win_spec,
+            win_spec,
+            win_spec,
             pl.BlockSpec(
                 (1, 1, t * wh * ww), lambda bi, wy, wx, occ_: (bi, 0, 0)
             ),
@@ -301,7 +304,8 @@ def window_attention_halo(
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
-            (1, t, wh, ww, c), lambda bi, wy, wx, occ_: (bi, 0, wy, wx, 0)
+            (1, t, 1, wh, 1, ww, c),
+            lambda bi, wy, wx, occ_: (bi, 0, wy, 0, wx, 0, 0),
         ),
         scratch_shapes=[
             pltpu.VMEM((t_sel, hh, hw, c), q.dtype),
@@ -313,10 +317,11 @@ def window_attention_halo(
     )
     qt = t * wh * ww
     kk_tot = qt + t_sel * hh * hw + pl_pad
-    return pl.pallas_call(
+    win7 = (b, t, nwh, wh, nww, ww, c)
+    out = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        out_shape=jax.ShapeDtypeStruct(win7, q.dtype),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * nwh * nww * n_head * qt * kk_tot * ch,
             bytes_accessed=b * nwh * nww * n_head * qt * ch * 8,
@@ -324,7 +329,7 @@ def window_attention_halo(
         ),
     )(
         occ.astype(jnp.int32),
-        q, k, v,
+        q.reshape(win7), k.reshape(win7), v.reshape(win7),
         bias_w.astype(jnp.float32)[:, None],
         (
             jnp.asarray(hbias)[None, None, :]
@@ -333,3 +338,4 @@ def window_attention_halo(
         bias_p[:, None],
         khalo, vhalo, pool_k, pool_v,
     )
+    return out.reshape(q.shape)
