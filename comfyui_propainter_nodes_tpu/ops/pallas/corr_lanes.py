@@ -140,6 +140,13 @@ def _level_lookup(vol, cy0, cx0, b0, nb, *, yw):
             + im * pl_pad * WIN * WIN * 4,
             transcendentals=0,
         ),
+        # the [WIN, wl, PL_PIX] f32 scratch scales with the level width:
+        # wl=160 (720p level 0) measured 17.77M of scoped vmem vs the
+        # 16M default. v5e has 128MB VMEM — give headroom (same fix as
+        # the deform kernel).
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
     )(b0, nb, cy0, cx0, vol)
 
 
@@ -224,33 +231,59 @@ def build_corr_pyramid_bi_lanes(fmap1, fmap2):
     reshapes and a concat (same cost as the pixel-major builder's
     batch concat; corr.py:13-27).
     """
-    from ...models.raft import _all_pairs_corr  # shared scaled einsum
-
-    n, h8, w8, _ = fmap1.shape
+    n, h8, w8, c = fmap1.shape
     hw = h8 * w8
-    corr = _all_pairs_corr(fmap1, fmap2)  # [N, hw(p), hw(q)]
-    corr_b = jnp.swapaxes(corr, 1, 2)
-    # vol[img, qy, qx, p]: map coords lead, pixels ride the minor axis
-    fwd = corr_b.reshape(n, h8, w8, hw)
-    bwd = corr.reshape(n, h8, w8, hw)
-    vol = jnp.concatenate([fwd, bwd], axis=0)  # [2N, H8, W8, hw]
-
     hw_pad = -(-hw // PL_PIX) * PL_PIX
-    if hw_pad != hw:
-        vol = jnp.pad(vol, ((0, 0), (0, 0), (0, 0), (0, hw_pad - hw)))
+    yw0 = _yw_for_h(h8)
+    h0 = -(-h8 // yw0) * yw0  # level-0 row-padded height
 
-    pyramid = []
-    m = vol
-    for lvl in range(4):
+    # The naive form (one einsum -> swapaxes -> concat -> pad minor ->
+    # pad rows) materializes ~4 full copies of the ~600MB level-0
+    # volume; measured 149ms on-chip for 23 pairs where the matmul
+    # itself is <1ms of MXU. Instead run TWO einsums (fwd pixel-minor =
+    # <f2_q, f1_p> with q on map dims; bwd = <f1_q, f2_p>) against
+    # feature maps PRE-PADDED on each axis: zero feature vectors yield
+    # exact zero correlations, so the minor-axis pixel pad and the
+    # level-0 row pad fall out of the matmul itself instead of costing
+    # full-volume copy passes. Doubled MXU time is noise; the copies
+    # were the cost.
+    def _pix_side(f):  # [N, hw_pad, C] flat pixels, zero-padded
+        fp = f.reshape(n, hw, c)
+        if hw_pad != hw:
+            fp = jnp.pad(fp, ((0, 0), (0, hw_pad - hw), (0, 0)))
+        return fp
+
+    def _map_side(f):  # [N, h0*w8, C] map rows zero-padded to h0
+        if h0 != h8:
+            f = jnp.pad(f, ((0, 0), (0, h0 - h8), (0, 0), (0, 0)))
+        return f.reshape(n, h0 * w8, c)
+
+    inv_s = 1.0 / jnp.sqrt(jnp.asarray(c, jnp.float32))
+
+    def _corr(fq, fp):
+        out = (
+            jnp.einsum(
+                "nqc,npc->nqp", fq, fp, preferred_element_type=jnp.float32
+            )
+            * inv_s
+        )
+        return out.astype(fmap1.dtype).reshape(n, h0, w8, hw_pad)
+
+    fwd = _corr(_map_side(fmap2), _pix_side(fmap1))
+    bwd = _corr(_map_side(fmap1), _pix_side(fmap2))
+    vol = jnp.concatenate([fwd, bwd], axis=0)  # [2N, h0, W8, hw_pad]
+
+    pyramid = [vol]
+    m = vol[:, :h8]  # pool from TRUE rows only (padding rows are zero)
+    for lvl in range(1, 4):
+        h2, w2 = m.shape[1] // 2, m.shape[2] // 2
+        # 2x2/2 avg pool over the LEADING map dims: strided slices +
+        # adds, full lane utilization (the pixel axis is untouched)
+        mr = m[:, 0 : 2 * h2 : 2] + m[:, 1 : 2 * h2 : 2]
+        m = (
+            mr[:, :, 0 : 2 * w2 : 2] + mr[:, :, 1 : 2 * w2 : 2]
+        ) * jnp.asarray(0.25, m.dtype)
         pyramid.append(_pad_rows_to(m, _yw_for_h(m.shape[1])))
-        if lvl < 3:
-            h2, w2 = m.shape[1] // 2, m.shape[2] // 2
-            # 2x2/2 avg pool over the LEADING map dims: strided slices +
-            # adds, full lane utilization (the pixel axis is untouched)
-            mr = m[:, 0 : 2 * h2 : 2] + m[:, 1 : 2 * h2 : 2]
-            m = (
-                mr[:, :, 0 : 2 * w2 : 2] + mr[:, :, 1 : 2 * w2 : 2]
-            ) * jnp.asarray(0.25, m.dtype)
     return pyramid
 
 

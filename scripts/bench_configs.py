@@ -74,7 +74,7 @@ def synthetic_clip(t, h, w, with_mask=True):
 
 
 # ------------------------------------------------------------- config 2
-if "2" in CONFIGS:
+def _config_2():
     from comfyui_propainter_nodes_tpu.nodes import ProPainterOutpaint
 
     t, w, h = 24, 640, 360
@@ -99,7 +99,7 @@ if "2" in CONFIGS:
            "frames/s/chip", f"{t}f in {dt:.2f}s")
 
 # ------------------------------------------------------------- config 3
-if "3" in CONFIGS:
+def _config_3():
     import jax.numpy as jnp
     from comfyui_propainter_nodes_tpu.config import PipelineConfig
     from comfyui_propainter_nodes_tpu.pipeline.stages import Pipeline
@@ -135,7 +135,7 @@ if "3" in CONFIGS:
            "frames/s/chip", f"{t}f flow+completion in {dt:.2f}s")
 
 # ------------------------------------------------------------- config 4
-if "4" in CONFIGS:
+def _config_4():
     import jax.numpy as jnp
     from comfyui_propainter_nodes_tpu.config import PipelineConfig
     from comfyui_propainter_nodes_tpu.pipeline.stages import Pipeline
@@ -187,7 +187,7 @@ if "4" in CONFIGS:
            "frames/s/chip", f"{t}f 720p streamed in {dt:.2f}s")
 
 # ------------------------------------------------------------- config 5
-if "5" in CONFIGS:
+def _config_5():
     import jax.numpy as jnp
     from comfyui_propainter_nodes_tpu.config import PipelineConfig
     from comfyui_propainter_nodes_tpu.pipeline.stages import Pipeline
@@ -241,6 +241,26 @@ if "5" in CONFIGS:
         "clip-parallel (independent clips per chip — MULTICHIP dryrun "
         "certifies the sharded pipeline), so slice throughput ~= 8x this",
     )
+
+
+# ------------------------------------------------------------- runner
+# each config runs guarded: a failure (e.g. a Mosaic compile error at
+# one resolution) records a FAILED row instead of losing every later
+# config and the report
+for _name, _fn in (
+    ("2", _config_2), ("3", _config_3), ("4", _config_4), ("5", _config_5),
+):
+    if _name in CONFIGS:
+        try:
+            _fn()
+        except Exception as _e:
+            import traceback
+            traceback.print_exc()
+            log(f"config {_name} FAILED: {type(_e).__name__}")
+            results.append(
+                (f"{_name}", "FAILED", float("nan"), "",
+                 f"{type(_e).__name__}: {str(_e)[:160]}")
+            )
 
 # ----------------------------------------------------------------- report
 if results:
