@@ -497,21 +497,49 @@ def raft_bi_forward(
     f2 = fm[:, 1:].reshape(n, h8, w8, -1)
     from ..ops.deform_conv import _pallas_enabled
 
+    # pixels-on-lanes Pallas lookup: measured 10.3 vs 15.5 ms/iter at 46
+    # images 45x80 — but its padded pixel-minor volume costs ~1.2x the
+    # unpadded einsum maps, so past a footprint gate (high-res streaming,
+    # where HBM is the binding constraint and the r4-validated sequential
+    # einsum regime holds) it falls back. Per-direction volume bytes at
+    # 640x360/23 pairs = 723MB (lanes); gate default 1 GB.
+    esz = jnp.dtype(cdt).itemsize
+    hw_pad_est = -(-(h8 * w8) // 512) * 512
+    h0_est = -(-h8 // 16) * 16
+    vol_bytes_dir = n * h0_est * w8 * hw_pad_est * esz
+    lanes_budget = int(
+        os.environ.get("PROPAINTER_TPU_LANES_BUDGET", str(1 << 30))
+    )
+    lanes_wmax = int(os.environ.get("PROPAINTER_TPU_LANES_WMAX", "96"))
     lanes = (
         _pallas_enabled()
         and os.environ.get("PROPAINTER_TPU_CORR_KERNEL", "lanes") == "lanes"
+        and vol_bytes_dir <= lanes_budget
+        # perf-validated regime is wl<=80 (<=640-wide video); high-res
+        # streaming (720p+) stays on the r4-validated sequential einsum
+        # memory plan
+        and w8 <= lanes_wmax
     )
     if lanes:
-        # pixels-on-lanes Pallas lookup: pixel-minor pyramid, per-tile
-        # dynamic y-blocks — reads only the sampled rows each iteration
-        # (ops/pallas/corr_lanes.py)
+        # per-tile dynamic y-blocks read only the sampled rows each
+        # iteration (ops/pallas/corr_lanes.py). Directions keep SEPARATE
+        # pyramids — concatenating them into one [2N, ...] volume costs
+        # a full-volume copy and doubles peak HBM (the config-4 720p
+        # OOM); the per-iteration lookup outputs (~1/100 the size) are
+        # concatenated instead.
         from ..ops.pallas.corr_lanes import (
-            build_corr_pyramid_bi_lanes,
+            build_corr_pyramids_lanes,
             corr_lookup_lanes,
         )
 
-        pyramid = build_corr_pyramid_bi_lanes(f1, f2)
-        lookup = lambda c: corr_lookup_lanes(pyramid, c)
+        pyr_f, pyr_b = build_corr_pyramids_lanes(f1, f2)
+        lookup = lambda c: jnp.concatenate(
+            [
+                corr_lookup_lanes(pyr_f, c[:n]),
+                corr_lookup_lanes(pyr_b, c[n:]),
+            ],
+            axis=0,
+        )
     else:
         unpadded = _use_unpadded_einsum()
         pyramid = build_corr_pyramid_bi(f1, f2, pad=not unpadded)

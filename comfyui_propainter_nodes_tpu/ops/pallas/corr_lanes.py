@@ -231,47 +231,44 @@ def build_corr_pyramid_bi_lanes(fmap1, fmap2):
     reshapes and a concat (same cost as the pixel-major builder's
     batch concat; corr.py:13-27).
     """
-    n, h8, w8, c = fmap1.shape
+    pyr_f, pyr_b = build_corr_pyramids_lanes(fmap1, fmap2)
+    return [
+        jnp.concatenate([a, b], axis=0) for a, b in zip(pyr_f, pyr_b)
+    ]
+
+
+def build_corr_pyramid_dir_lanes(fq, fp):
+    """ONE direction's pixel-minor pyramid: vol[img, qy, qx, p] =
+    <fq at map coord q, fp at flat pixel p> / sqrt(C).
+
+    The naive bidirectional form (one einsum -> swapaxes -> concat ->
+    pad minor -> pad rows) materializes ~4 full copies of the ~600MB
+    level-0 volume; measured 149ms on-chip for 23 pairs where the
+    matmul itself is <1ms of MXU. Here each direction is its own einsum
+    against feature maps PRE-PADDED on each axis: zero feature vectors
+    yield exact zero correlations, so the minor-axis pixel pad and the
+    level-0 row pad fall out of the matmul itself instead of costing
+    full-volume copy passes — and keeping directions separate halves
+    the peak footprint (no [2N, ...] concat copy; the lookup outputs,
+    ~1/100 the volume size, are concatenated instead)."""
+    n, h8, w8, c = fq.shape
     hw = h8 * w8
     hw_pad = -(-hw // PL_PIX) * PL_PIX
     yw0 = _yw_for_h(h8)
     h0 = -(-h8 // yw0) * yw0  # level-0 row-padded height
 
-    # The naive form (one einsum -> swapaxes -> concat -> pad minor ->
-    # pad rows) materializes ~4 full copies of the ~600MB level-0
-    # volume; measured 149ms on-chip for 23 pairs where the matmul
-    # itself is <1ms of MXU. Instead run TWO einsums (fwd pixel-minor =
-    # <f2_q, f1_p> with q on map dims; bwd = <f1_q, f2_p>) against
-    # feature maps PRE-PADDED on each axis: zero feature vectors yield
-    # exact zero correlations, so the minor-axis pixel pad and the
-    # level-0 row pad fall out of the matmul itself instead of costing
-    # full-volume copy passes. Doubled MXU time is noise; the copies
-    # were the cost.
-    def _pix_side(f):  # [N, hw_pad, C] flat pixels, zero-padded
-        fp = f.reshape(n, hw, c)
-        if hw_pad != hw:
-            fp = jnp.pad(fp, ((0, 0), (0, hw_pad - hw), (0, 0)))
-        return fp
-
-    def _map_side(f):  # [N, h0*w8, C] map rows zero-padded to h0
-        if h0 != h8:
-            f = jnp.pad(f, ((0, 0), (0, h0 - h8), (0, 0), (0, 0)))
-        return f.reshape(n, h0 * w8, c)
+    fp = fp.reshape(n, hw, c)
+    if hw_pad != hw:  # pixel side: flat pixels zero-padded
+        fp = jnp.pad(fp, ((0, 0), (0, hw_pad - hw), (0, 0)))
+    if h0 != h8:  # map side: rows zero-padded
+        fq = jnp.pad(fq, ((0, 0), (0, h0 - h8), (0, 0), (0, 0)))
+    fq = fq.reshape(n, h0 * w8, c)
 
     inv_s = 1.0 / jnp.sqrt(jnp.asarray(c, jnp.float32))
-
-    def _corr(fq, fp):
-        out = (
-            jnp.einsum(
-                "nqc,npc->nqp", fq, fp, preferred_element_type=jnp.float32
-            )
-            * inv_s
-        )
-        return out.astype(fmap1.dtype).reshape(n, h0, w8, hw_pad)
-
-    fwd = _corr(_map_side(fmap2), _pix_side(fmap1))
-    bwd = _corr(_map_side(fmap1), _pix_side(fmap2))
-    vol = jnp.concatenate([fwd, bwd], axis=0)  # [2N, h0, W8, hw_pad]
+    vol = (
+        jnp.einsum("nqc,npc->nqp", fq, fp, preferred_element_type=jnp.float32)
+        * inv_s
+    ).astype(fp.dtype).reshape(n, h0, w8, hw_pad)
 
     pyramid = [vol]
     m = vol[:, :h8]  # pool from TRUE rows only (padding rows are zero)
@@ -285,6 +282,15 @@ def build_corr_pyramid_bi_lanes(fmap1, fmap2):
         ) * jnp.asarray(0.25, m.dtype)
         pyramid.append(_pad_rows_to(m, _yw_for_h(m.shape[1])))
     return pyramid
+
+
+def build_corr_pyramids_lanes(fmap1, fmap2):
+    """(forward, backward) pixel-minor pyramids as SEPARATE lists.
+    fwd[img, qy, qx, p] = <fmap2_q, fmap1_p>; bwd swaps the roles."""
+    return (
+        build_corr_pyramid_dir_lanes(fmap2, fmap1),
+        build_corr_pyramid_dir_lanes(fmap1, fmap2),
+    )
 
 
 def _yw_for_h(h: int) -> int:
