@@ -449,7 +449,11 @@ class Pipeline:
                 # volumes live at a time). Mirrors the reference's own
                 # chunk loop (propainter_inference.py:75-93).
                 fdt = jnp.bfloat16 if cfg.use_bf16 else jnp.float32
-                batch = chunk_batch(frames)  # [n_chunks, chunk_len, H, W, 3]
+                # pre-cast to the RAFT compute dtype (identical numerics,
+                # half the resident stacked-chunk buffer)
+                batch = chunk_batch(frames).astype(
+                    prm["fnet.conv1.weight"].dtype
+                )  # [n_chunks, chunk_len, H, W, 3]
                 ff, fb = jax.lax.map(
                     lambda ck: tuple(
                         a.astype(fdt)
@@ -470,17 +474,23 @@ class Pipeline:
                 # propainter_inference.py:325-331) — halving the stacked
                 # map output (f32 flows for 85 720p pairs are 2.5GB).
                 fdt = jnp.bfloat16 if cfg.use_bf16 else jnp.float32
-                pairs = jnp.stack(
-                    [frames[0, :-1], frames[0, 1:]], axis=1
-                )  # [T-1, 2, H, W, 3]
+                # index the frame array per pair instead of materializing
+                # a [T-1, 2, H, W, 3] stacked copy (2GB f32 at 720p/85
+                # pairs — part of the 240f 720p streaming OOM), and
+                # pre-cast to the RAFT compute dtype (raft_bi_forward
+                # casts its inputs to the params dtype anyway, so this is
+                # numerically identical and halves the resident input)
+                fr = frames[0].astype(prm["fnet.conv1.weight"].dtype)
                 ff, fb = jax.lax.map(
-                    lambda pr: tuple(
+                    lambda i: tuple(
                         a.astype(fdt)
                         for a in raft.raft_bi_forward(
-                            prm, pr[None], iters=cfg.raft_iter
+                            prm,
+                            jax.lax.dynamic_slice_in_dim(fr, i, 2, 0)[None],
+                            iters=cfg.raft_iter,
                         )
                     ),
-                    pairs,
+                    jnp.arange(t - 1),
                 )
                 return ff[:, 0, 0][None], fb[:, 0, 0][None]
             batch = chunk_batch(frames)

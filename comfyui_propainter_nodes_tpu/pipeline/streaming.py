@@ -79,13 +79,14 @@ def process_streaming(
     ref_num = sub // cfg.ref_stride if t > sub else -1
 
     # ---------------- per-frame prepared tensors (cached by chunk) ------
-    # the cache stores byte frames (f32 0..255, carries the bicubic
-    # resize's fractional part) + BINARY masks as uint8; the [-1,1]
-    # normalization is recomputed per gather with the identical
-    # expression (byte/255*2-1), so nothing numeric changes while the
-    # resident footprint halves — at 720p the f32 norm+byte+masks form
-    # held ~0.94GB per 32-frame chunk, several chunks live (part of the
-    # 240f 720p streaming OOM). Chunks shrink at large areas.
+    # the cache stores byte frames + BINARY masks as uint8 (the PIL-exact
+    # resize's _round8 makes byte frames integral 0..255, so uint8 is
+    # exact); the [-1,1] normalization is recomputed per gather with the
+    # identical expression (byte/255*2-1 in f32), so nothing numeric
+    # changes while the resident footprint drops ~8x vs the original f32
+    # norm+byte form (~0.94GB per 32-frame 720p chunk, several chunks
+    # live — part of the 240f 720p streaming OOM). Chunks shrink at
+    # large areas.
     prep_chunk = 32 if ph * pw <= 640 * 480 else 16
 
     def _prep(k: int):
@@ -99,7 +100,12 @@ def process_streaming(
         flow_m, dil_m = image_utils.prepare_masks(
             masks, pw, ph, flow_mask_dilates, mask_dilates
         )
-        return byte, flow_m.astype(jnp.uint8), dil_m.astype(jnp.uint8)
+        # byte frames are integral 0..255 (PIL-exact resize ends in
+        # _round8), so uint8 storage is EXACT and quarters the resident
+        # prep cache (176 -> 44MB per 16-frame 720p chunk; the prep floor
+        # stays at 0 for most of the video, so every chunk below the
+        # completion lookback stays live — part of the 240f 720p OOM)
+        return byte.astype(jnp.uint8), flow_m.astype(jnp.uint8), dil_m.astype(jnp.uint8)
 
     def _hires_sync(x):
         """4-byte fetch forcing a cache computation to finish before the
@@ -122,9 +128,10 @@ def process_streaming(
         for k in range(k0, k1 + 1):
             cached = prep.get(k)
             if i == 0:
-                a = (cached[0] / 255.0) * 2.0 - 1.0  # == prepare_frames
+                # == prepare_frames' normalization (byte/255*2-1 in f32)
+                a = (cached[0].astype(jnp.float32) / 255.0) * 2.0 - 1.0
             elif i == 1:
-                a = cached[0]
+                a = cached[0].astype(jnp.float32)
             else:
                 a = cached[i - 1].astype(jnp.float32)
             s = max(lo - k * prep_chunk, 0)

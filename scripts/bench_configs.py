@@ -264,6 +264,22 @@ for _name, _fn in (
 
 # ----------------------------------------------------------------- report
 if results:
+    # merge with rows from a previous partial run (keyed by leading config
+    # number) so CONFIGS=4,5 doesn't drop the committed 2-3 rows
+    kept = {}
+    if os.path.exists(OUT_MD):
+        with open(OUT_MD) as f:
+            for row in f:
+                row = row.strip()
+                if row.startswith("|") and not row.startswith("|---") \
+                        and not row.startswith("| config"):
+                    key = row.split("|")[1].strip().split("-")[0]
+                    kept[key] = row
+    for name, metric, value, unit, detail in results:
+        key = name.split("-")[0]
+        kept[key] = (
+            f"| {name} | {metric} | {value:.3f} | {unit} | {detail} |"
+        )
     dev = str(jax.devices()[0])
     stamp = time.strftime("%Y-%m-%d %H:%M UTC", time.gmtime())
     lines = [
@@ -275,8 +291,7 @@ if results:
         "| config | metric | value | unit | detail |",
         "|---|---|---|---|---|",
     ]
-    for name, metric, value, unit, detail in results:
-        lines.append(f"| {name} | {metric} | {value:.3f} | {unit} | {detail} |")
+    lines.extend(kept[k] for k in sorted(kept))
     with open(OUT_MD, "w") as f:
         f.write("\n".join(lines) + "\n")
     log(f"wrote {OUT_MD}")
