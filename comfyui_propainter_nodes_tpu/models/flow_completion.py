@@ -236,27 +236,27 @@ def flow_complete_forward(
     ) and (t_valid is None or jnp.asarray(t_valid).ndim == 0)
 
     if big:
-        e1, mid = _encode_chunked(p, inputs, t_valid)
+        e1p, e2 = _encode_chunked(p, inputs, t_valid)
     else:
-        e1, mid = _encode(p, inputs, t_valid)
+        e1, e2 = _encode(p, inputs, t_valid)
+    mid = _mid(p, e2)
 
     prop = _bidirectional_propagation(p, mid, t_valid)  # [B, T, H/8, W/8, 128]
 
     bt = b * t
     prop2 = prop.reshape(bt, h // 8, w // 8, CHANNEL)
-    e1_2 = e1.reshape(bt, h // 4, w // 4, 64)
     if big:
-        flow = _decode_chunked(p, prop2, e1_2)
+        e1_2p = e1p.reshape(bt, h // 4, w // 8, 128)
+        flow = _decode_chunked(p, prop2, e1_2p)
     else:
-        flow = _decode(p, prop2, e1_2)
+        flow = _decode(p, prop2, e1.reshape(bt, h // 4, w // 4, 64))
     return flow.reshape(b, t, h, w, 2)
 
 
-def _encode(p: Params, inputs, t_valid, t_first=None):
-    """downsample + P3D encoders + mid dilation: [B,T,H,W,3] ->
-    (e1 [B,T,H/4,W/4,64], mid [B,T,H/8,W/8,128])."""
-    # downsample: (1,5,5) s(1,2,2) conv with REPLICATE spatial padding
-    xp = jnp.pad(inputs, ((0, 0), (0, 0), (2, 2), (2, 2), (0, 0)), mode="edge")
+def _encode_core(p: Params, xp, t_valid, t_first=None):
+    """downsample + P3D encoders on a PRE-PADDED input (H and W already
+    edge-padded by 2): [B,T,H+4,W+4,3] -> (e1 [B,T,H/4,W/4,64],
+    e2 [B,T,H/8,W/8,128])."""
     x = pconv3d(p, "downsample.0", xp, stride=(1, 2, 2))
     x = leaky_relu(x, 0.2)  # 2x down, 32ch
 
@@ -269,25 +269,124 @@ def _encode(p: Params, inputs, t_valid, t_first=None):
     e2 = leaky_relu(e2, 0.2)
     e2 = _p3d(p, "encoder2.2", e2, 2, t_valid, t_first)
     e2 = leaky_relu(e2, 0.2)  # 8x, 128ch
+    return e1, e2
 
+
+def _encode(p: Params, inputs, t_valid, t_first=None):
+    """downsample + P3D encoders: [B,T,H,W,3] ->
+    (e1 [B,T,H/4,W/4,64], e2 [B,T,H/8,W/8,128])."""
+    # downsample: (1,5,5) s(1,2,2) conv with REPLICATE spatial padding
+    xp = jnp.pad(inputs, ((0, 0), (0, 0), (2, 2), (2, 2), (0, 0)), mode="edge")
+    return _encode_core(p, xp, t_valid, t_first)
+
+
+def _slab_plan(h8: int, nb: int):
+    """Row-slab geometry for _encode_slabbed: list of
+    (xe_start, xe_len, keep8_lo, keep4_lo, nb_i) with every xe_start a
+    multiple of 8 (so slab-local /2, /4, /8 rows align to global rows at
+    fixed offsets) and a 2-(/8-row) halo (16 input rows) that covers the
+    encoder's spatial receptive field: a /8 row reads /4 rows +-2, /2
+    rows +-6, padded-input rows [-12, +16] around its 8-row footprint.
+    The first/last slab starts/ends at the frame edge, where the conv
+    stack's own zero/edge padding reproduces the global computation
+    exactly; interior kept rows sit >= the receptive field away from
+    slab edges, so slab-edge padding is never read."""
+    plan = []
+    a = 0
+    h_xe = 8 * h8 + 4
+    while a < h8:
+        nb_i = min(nb, h8 - a)
+        last = a + nb_i == h8
+        if a == 0:
+            s, length = 0, 8 * nb_i + 16
+            k8 = k4 = 0
+        else:
+            s = 8 * (a - 2)
+            length = (h_xe - s) if last else 8 * (nb_i + 4)
+            k8, k4 = 2, 4
+        length = min(length, h_xe - s)
+        plan.append((s, length, k8, k4, nb_i))
+        a += nb_i
+    return plan
+
+
+def _encode_slabbed(p: Params, inputs, t_valid, t_first, nb: int):
+    """_encode with the row dimension processed in slabs (exact): the
+    temporal convs are spatially pointwise and the spatial convs' row
+    receptive field is absorbed by the slab halo (_slab_plan). Bounds
+    the half-res 32-channel activations — which lane-pad 4x and at 1080p
+    dominate the completion program's HBM (the config-5 OOM) — to one
+    slab's rows at a time."""
+    b, tc, h, w, _ = inputs.shape
+    h8 = h // 8
+    xe = jnp.pad(inputs, ((0, 0), (0, 0), (2, 2), (2, 2), (0, 0)), mode="edge")
+    e1s, e2s = [], []
+    for s, length, k8, k4, nb_i in _slab_plan(h8, nb):
+        e1c, e2c = _encode_core(
+            p, jax.lax.slice_in_dim(xe, s, s + length, axis=2),
+            t_valid, t_first,
+        )
+        e1s.append(jax.lax.slice_in_dim(e1c, k4, k4 + 2 * nb_i, axis=2))
+        e2s.append(jax.lax.slice_in_dim(e2c, k8, k8 + nb_i, axis=2))
+    return jnp.concatenate(e1s, axis=2), jnp.concatenate(e2s, axis=2)
+
+
+def _mid(p: Params, e2):
+    """mid dilation (reference :264-277): three dilated SPATIAL convs —
+    per-frame pure (kt=1), so it runs OUTSIDE the temporal-halo chunking
+    on the full sequence at 1/8 res (the previous in-chunk placement
+    recomputed it on every halo frame, ~2x redundant at the default
+    chunk shape)."""
     mid = pconv3d(p, "mid_dilation.0", e2, padding=(0, 3, 3), dilation=(1, 3, 3))
     mid = leaky_relu(mid, 0.2)
     mid = pconv3d(p, "mid_dilation.2", mid, padding=(0, 2, 2), dilation=(1, 2, 2))
     mid = leaky_relu(mid, 0.2)
     mid = pconv3d(p, "mid_dilation.4", mid, padding=(0, 1, 1), dilation=(1, 1, 1))
     mid = leaky_relu(mid, 0.2)
-    return e1, mid
+    return mid
 
 
 _FC_CHUNK_T = 16
 _FC_HALO = 8  # four dilated-2 temporal convs: receptive field +-8
 
 
+def _fc_slab_nb(h: int, w: int, chunk_t: int, esz: int) -> int | None:
+    """Row-slab size (in /8 rows) for the chunked encoder, or None below
+    the area gate. Sized so one slab's half-res 32-channel activation —
+    which lane-pads 4x (C=32 rounds to the 128-lane tile) — stays near
+    ~1GB: at 1080p that is ~30 /8-rows -> 5 slabs per temporal chunk.
+    720p and below run un-slabbed (single-slab plan == _encode)."""
+    if h * w <= int(os.environ.get("PROPAINTER_TPU_FC_BIGAREA", "1600000")):
+        return None
+    env = os.environ.get("PROPAINTER_TPU_FC_SLAB_NB")
+    if env is not None:
+        return int(env)
+    budget = 1.1e9
+    rows2 = budget / (chunk_t * (w // 2) * 128 * esz)
+    return max(8, min(h // 8, int((rows2 - 16) // 4)))
+
+
+def _pack_w2(a):
+    """[..., W, C] -> [..., W/2, 2C] by folding W-phase into channels —
+    pure reshape (row-major adjacency), inverted by _unpack_w2. Packed
+    64-channel skip features fill the 128-lane tile exactly instead of
+    padding 2x (the resident e1 is ~3GB at 90 frames 1080p unpacked)."""
+    return a.reshape(a.shape[:-2] + (a.shape[-2] // 2, 2 * a.shape[-1]))
+
+
+def _unpack_w2(a):
+    return a.reshape(a.shape[:-2] + (2 * a.shape[-2], a.shape[-1] // 2))
+
+
 def _encode_chunked(p: Params, inputs, t_valid):
     """_encode over temporal chunks with +-_FC_HALO halo frames (exact:
     interior frames see the same taps as the global computation; the
     halo absorbs the 4 temporal convs' receptive field, and synthetic
-    halo/padding positions are re-zeroed before every temporal conv)."""
+    halo/padding positions are re-zeroed before every temporal conv).
+
+    Chunks are gathered by dynamic slice per map step (a stacked
+    [n_ch, ...] copy of the padded input is 2.2GB at 1080p); e1 chunks
+    leave the map W-phase-packed (_pack_w2)."""
     b, t, h, w, _ = inputs.shape
     F, HALO = _FC_CHUNK_T, _FC_HALO
     n_ch = -(-t // F)
@@ -297,22 +396,33 @@ def _encode_chunked(p: Params, inputs, t_valid):
         inputs, ((0, 0), (HALO, t_pad - t + HALO), (0, 0), (0, 0), (0, 0))
     )
     starts = np.arange(n_ch) * F
-    chunks = jnp.stack([xg[:, s : s + F + 2 * HALO] for s in starts])
     firsts = jnp.maximum(HALO - jnp.asarray(starts), 0)
     valids = jnp.clip(gv + HALO - jnp.asarray(starts), 0, F + 2 * HALO)
+    slab_nb = _fc_slab_nb(
+        h, w, F + 2 * HALO, jnp.dtype(inputs.dtype).itemsize
+    )
 
     def enc_one(args):
-        ck, tf, tvld = args
-        e1c, midc = _encode(p, ck, tvld, tf)
-        return e1c[:, HALO : HALO + F], midc[:, HALO : HALO + F]
+        s, tf, tvld = args
+        ck = jax.lax.dynamic_slice_in_dim(xg, s, F + 2 * HALO, axis=1)
+        if slab_nb is not None:
+            e1c, e2c = _encode_slabbed(p, ck, tvld, tf, slab_nb)
+        else:
+            e1c, e2c = _encode(p, ck, tvld, tf)
+        return (
+            _pack_w2(e1c[:, HALO : HALO + F]),
+            e2c[:, HALO : HALO + F],
+        )
 
-    e1s, mids = jax.lax.map(enc_one, (chunks, firsts, valids))
+    e1s, e2s = jax.lax.map(
+        enc_one, (jnp.asarray(starts), firsts, valids)
+    )
     # [n_ch, B, F, ...] -> [B, n_ch*F, ...] -> [:, :t]
     def unchunk(a):
         a = jnp.moveaxis(a, 0, 1)
         return a.reshape((b, t_pad) + a.shape[3:])[:, :t]
 
-    return unchunk(e1s), unchunk(mids)
+    return unchunk(e1s), unchunk(e2s)
 
 
 def _decode(p: Params, prop2, e1_2):
@@ -334,18 +444,19 @@ def _decode(p: Params, prop2, e1_2):
     return _deconv(p, "upsample.2", up)
 
 
-def _decode_chunked(p: Params, prop2, e1_2, chunk: int = 8):
+def _decode_chunked(p: Params, prop2, e1_2p, chunk: int = 8):
     """_decode over frame chunks (exact — it is per-frame pure); bounds
-    the full-res activation footprint to `chunk` frames."""
+    the full-res activation footprint to `chunk` frames. e1_2p arrives
+    W-phase-packed (_pack_w2) and is unpacked per chunk."""
     bt = prop2.shape[0]
     n_ch = -(-bt // chunk)
     pad = n_ch * chunk - bt
     if pad:
         prop2 = jnp.concatenate([prop2, prop2[:pad]])
-        e1_2 = jnp.concatenate([e1_2, e1_2[:pad]])
+        e1_2p = jnp.concatenate([e1_2p, e1_2p[:pad]])
     pc = prop2.reshape((n_ch, chunk) + prop2.shape[1:])
-    ec = e1_2.reshape((n_ch, chunk) + e1_2.shape[1:])
-    out = jax.lax.map(lambda a: _decode(p, a[0], a[1]), (pc, ec))
+    ec = e1_2p.reshape((n_ch, chunk) + e1_2p.shape[1:])
+    out = jax.lax.map(lambda a: _decode(p, a[0], _unpack_w2(a[1])), (pc, ec))
     return out.reshape((n_ch * chunk,) + out.shape[2:])[:bt]
 
 

@@ -236,9 +236,13 @@ def _use_unpadded_einsum() -> bool:
     HBM (what makes batching both RAFT directions affordable)."""
     from ..ops.deform_conv import _pallas_enabled
 
+    # "lanes" counts too: where the lanes kernel's footprint gate routes
+    # a shape back to the einsum lookup, that fallback is the unpadded
+    # einsum form — only the "pallas" DMA kernel needs the zero border
     return (
         _pallas_enabled()
-        and os.environ.get("PROPAINTER_TPU_CORR_KERNEL", "einsum") == "einsum"
+        and os.environ.get("PROPAINTER_TPU_CORR_KERNEL", "einsum")
+        in ("einsum", "lanes")
     )
 
 
@@ -439,7 +443,10 @@ def raft_forward(
     fmaps = basic_encoder(params, "fnet", both, norm="instance")
     fmap1, fmap2 = fmaps[:n], fmaps[n:]
 
-    pyramid = build_corr_pyramid(fmap1, fmap2)
+    # same padding rule as raft_bi_forward: the MXU one-hot-einsum lookup
+    # needs no zero border (OOB taps match no one-hot row)
+    unpadded = _use_unpadded_einsum()
+    pyramid = build_corr_pyramid(fmap1, fmap2, pad=not unpadded)
 
     cnet = basic_encoder(params, "cnet", image1, norm="batch")
     net = jnp.tanh(cnet[..., :HDIM])
@@ -450,7 +457,7 @@ def raft_forward(
 
     def step(carry, _):
         net, coords1 = carry
-        corr = lookup_corr(pyramid, coords1)
+        corr = lookup_corr(pyramid, coords1, padded=not unpadded)
         flow = coords1 - coords0
         net, delta = _update_block(
             params, net, inp, corr.astype(cdt), flow.astype(cdt)
@@ -462,6 +469,33 @@ def raft_forward(
     )
     up_mask = _upsample_mask(params, net)
     return convex_upsample(coords1 - coords0, up_mask.astype(jnp.float32))
+
+
+def raft_bi_forward_seqdir(
+    params: Params, frames: jnp.ndarray, iters: int = 20
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Memory-lean bidirectional flow for huge resolutions: the two
+    directions run SEQUENTIALLY (fwd fully, then bwd), so only one
+    direction's correlation pyramid is live at a time.
+
+    raft_bi_forward's direction batching holds both pyramids (and, on
+    the einsum path, a transposed copy + a [2N, ...] concat of the
+    level-0 volume) — at 1080p one pair's batched-direction build peaks
+    over 16GB of HBM. Here each direction is an independent
+    `raft_forward` (numerically identical to the reference's two RAFT
+    calls, flow_comp_raft.py:39-58); the second direction re-encodes the
+    two frames and redoes the all-pairs matmul, both negligible next to
+    the 20-iteration update loop at these sizes.
+    """
+    b, t, h, w, c = frames.shape
+    im1 = frames[:, :-1].reshape(b * (t - 1), h, w, c)
+    im2 = frames[:, 1:].reshape(b * (t - 1), h, w, c)
+    f_fwd = raft_forward(params, im1, im2, iters=iters)
+    f_bwd = raft_forward(params, im2, im1, iters=iters)
+    return (
+        f_fwd.reshape(b, t - 1, h, w, 2),
+        f_bwd.reshape(b, t - 1, h, w, 2),
+    )
 
 
 def raft_bi_forward(

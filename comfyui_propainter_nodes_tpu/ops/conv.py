@@ -167,18 +167,32 @@ def pconv3d(p: Params, name: str, x: jnp.ndarray, **kw) -> jnp.ndarray:
     if kh == 1 and kw_ == 1 and stride == (1, 1, 1) and padding[1:] == (0, 0):
         dt_ = dilation[0]
         n, t, h, ww, c = x.shape
+        # OUTPUT-shifted accumulation: out[t] = sum_j (x @ Wj)[t+shift_j]
+        # — same products and add order as shifting the INPUT per tap
+        # (bit-identical), but the shift/pad now applies to the matmul
+        # RESULT, where it fuses into the accumulating elementwise op.
+        # The input-shifted form materialized a slice AND a pad copy of
+        # the [N,T,H,W,C] activation per tap next to the conv output —
+        # three ~4GB buffers at 1080p completion-encoder chunks, the
+        # allocations the config-5 compile OOM report pinned to this
+        # line (low-channel full-res activations pad 4x: C=32 rounds to
+        # the 128-lane tile).
         out = None
         for j in range(kt):
             shift = j * dt_ - padding[0]
             wj = w[j, 0, 0].astype(x.dtype)  # [cin, cout]
+            term = jnp.matmul(x, wj)
             if shift < 0:
-                seg = jnp.pad(x[:, : t + shift], ((0, 0), (-shift, 0)) + ((0, 0),) * 3)
+                seg = jnp.pad(
+                    term[:, : t + shift], ((0, 0), (-shift, 0)) + ((0, 0),) * 3
+                )
             elif shift > 0:
-                seg = jnp.pad(x[:, shift:], ((0, 0), (0, shift)) + ((0, 0),) * 3)
+                seg = jnp.pad(
+                    term[:, shift:], ((0, 0), (0, shift)) + ((0, 0),) * 3
+                )
             else:
-                seg = x
-            term = jnp.matmul(seg, wj)
-            out = term if out is None else out + term
+                seg = term
+            out = seg if out is None else out + seg
         if b is not None:
             out = out + b.astype(x.dtype)
         return out

@@ -481,10 +481,25 @@ class Pipeline:
                 # casts its inputs to the params dtype anyway, so this is
                 # numerically identical and halves the resident input)
                 fr = frames[0].astype(prm["fnet.conv1.weight"].dtype)
+                # past a second footprint gate even ONE pair's batched-
+                # direction pyramid is too big (1080p: level-0 bf16 is
+                # 2.1GB/direction and the batched build transposes and
+                # concats it — peak >16GB); run the directions
+                # sequentially so one pyramid is live at a time
+                pair_vol = 2.0 * h8w8 * h8w8 * (
+                    2 if cfg.raft_half else 4
+                ) * 1.36
+                seqdir = pair_vol > float(
+                    os.environ.get("PROPAINTER_TPU_RAFT_SEQDIR_BYTES", 2e9)
+                )
+                pair_fn = (
+                    raft.raft_bi_forward_seqdir if seqdir
+                    else raft.raft_bi_forward
+                )
                 ff, fb = jax.lax.map(
                     lambda i: tuple(
                         a.astype(fdt)
-                        for a in raft.raft_bi_forward(
+                        for a in pair_fn(
                             prm,
                             jax.lax.dynamic_slice_in_dim(fr, i, 2, 0)[None],
                             iters=cfg.raft_iter,

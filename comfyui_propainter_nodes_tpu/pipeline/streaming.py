@@ -118,25 +118,32 @@ def process_streaming(
 
     prep = _ChunkCache(_prep)
 
-    def gather(i: int, lo: int, hi: int):
+    @jax.jit
+    def _norm_chunk(u8):
+        # == prepare_frames' normalization (byte/255*2-1 in f32); the
+        # f32 transient lives only inside this jit — eager slicing built
+        # the whole range in f32 (2GB for one 86-frame 1080p gather)
+        return (u8.astype(jnp.float32) / 255.0) * 2.0 - 1.0
+
+    def gather(i: int, lo: int, hi: int, dt=jnp.float32):
         """Prepared tensors for absolute frame range [lo, hi) (clamped).
-        i: 0 = normalized frames, 1 = byte frames, 2/3 = masks."""
+        i: 0 = normalized frames, 1 = byte frames, 2/3 = masks.
+        dt: output dtype — consumers that cast anyway (RAFT to its param
+        dtype, completion/image-prop to cdtype) pass it here so the f32
+        form never materializes for the whole range."""
         lo = max(0, lo)
         hi = min(t, hi)
         parts = []
         k0, k1 = lo // prep_chunk, (hi - 1) // prep_chunk
         for k in range(k0, k1 + 1):
             cached = prep.get(k)
-            if i == 0:
-                # == prepare_frames' normalization (byte/255*2-1 in f32)
-                a = (cached[0].astype(jnp.float32) / 255.0) * 2.0 - 1.0
-            elif i == 1:
-                a = cached[0].astype(jnp.float32)
-            else:
-                a = cached[i - 1].astype(jnp.float32)
             s = max(lo - k * prep_chunk, 0)
-            e = min(hi - k * prep_chunk, a.shape[0])
-            parts.append(a[s:e])
+            e = min(hi - k * prep_chunk, cached[0].shape[0])
+            if i == 0:
+                a = _norm_chunk(cached[0][s:e]).astype(dt)
+            else:
+                a = cached[0 if i == 1 else i - 1][s:e].astype(dt)
+            parts.append(a)
         return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
 
     # ---------------- stage 1+2: completed flows per absolute chunk -----
@@ -151,7 +158,8 @@ def process_streaming(
         inputs to cdtype anyway, so casting HERE is numerically identical
         while halving the streamed flow buffers (f32 flows for one 80-pair
         720p chunk are 1.25GB — part of the high-res HBM budget)."""
-        frames = gather(0, lo, hi + 1)[None]
+        rdt = jax.tree_util.tree_leaves(pipe.raft_params)[0].dtype
+        frames = gather(0, lo, hi + 1, rdt)[None]
         ff, fb = pipe.compute_flow(frames)
         return ff.astype(pipe.cdtype), fb.astype(pipe.cdtype)
 
@@ -165,7 +173,7 @@ def process_streaming(
             e_f = min(flow_len, f + sub + pad_fc)
             t_static = sub + 2 * pad_fc
         ff, fb = _flows_range(s_f, e_f)
-        mk = gather(2, s_f, e_f + 1)[None].astype(pipe.cdtype)
+        mk = gather(2, s_f, e_f + 1, pipe.cdtype)[None]
         of, ob = pipe.complete_flow_chunk(ff, fb, mk, e_f - s_f, t_static)
         _hires_sync(of)
         if single_fc:
@@ -202,8 +210,8 @@ def process_streaming(
             s_f = max(0, f - pad_ip)
             e_f = min(t, f + sub_img + pad_ip)
             t_static = sub_img + 2 * pad_ip
-        fr = gather(0, s_f, e_f)[None].astype(pipe.cdtype)
-        mk = gather(3, s_f, e_f)[None].astype(pipe.cdtype)
+        fr = gather(0, s_f, e_f, pipe.cdtype)[None]
+        mk = gather(3, s_f, e_f, pipe.cdtype)[None]
         ff, fb = completed_range(s_f, e_f - 1)
         uf, um = pipe.image_prop_chunk(fr, mk, ff, fb, e_f - s_f, t_static)
         _hires_sync(uf)
@@ -275,7 +283,7 @@ def process_streaming(
             + ref_ids + [n0] * (ref_max - n_ref)
         )
         uf_sel, um_sel = updated_at(sel)
-        md_sel = jnp.stack([gather(3, i, i + 1)[0] for i in sel], 0)[None]
+        md_sel = jnp.stack([gather(3, i, i + 1, dt)[0] for i in sel], 0)[None]
         valid = jnp.asarray(
             [1.0] * l_t + [0.0] * (l_t_max - l_t)
             + [1.0] * n_ref + [0.0] * (ref_max - n_ref),

@@ -122,6 +122,17 @@ def test_chunked_forward_matches_unchunked(monkeypatch, jax_params):
         np.asarray(out), np.asarray(ref), atol=3e-5, rtol=1e-4
     )
 
+    # the 1080p regime's row-slabbed encoder (first/interior/last slab
+    # geometry at h8=8 with nb=3) must also be exact
+    monkeypatch.setenv("PROPAINTER_TPU_FC_BIGAREA", "1")
+    monkeypatch.setenv("PROPAINTER_TPU_FC_SLAB_NB", "3")
+    out4 = jfc.flow_complete_forward(jax_params, flows, masks)
+    monkeypatch.delenv("PROPAINTER_TPU_FC_BIGAREA")
+    monkeypatch.delenv("PROPAINTER_TPU_FC_SLAB_NB")
+    np.testing.assert_allclose(
+        np.asarray(out4), np.asarray(ref), atol=3e-5, rtol=1e-4
+    )
+
     # end-padded sequence: real prefix must stay exact through chunking
     tv = 17
     fp = jnp.pad(flows, ((0, 0), (0, 5), (0, 0), (0, 0), (0, 0)))

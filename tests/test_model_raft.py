@@ -393,3 +393,37 @@ def test_flow_stage_chunk_sequential_map_matches_batched(monkeypatch, jax_params
     np.testing.assert_allclose(
         np.asarray(seq[1]), np.asarray(ref[1]), atol=2e-4, rtol=1e-3
     )
+
+def test_flow_stage_seqdir_pairs_match_batched(monkeypatch, jax_params):
+    """The huge-resolution regime (1080p): even one pair's batched-
+    direction pyramid build peaks over HBM (transpose + [2N] concat of
+    the level-0 volume), so the per-pair map runs the two directions
+    sequentially (raft_bi_forward_seqdir). Forcing both gates low must
+    reproduce the batched result."""
+    from comfyui_propainter_nodes_tpu.config import PipelineConfig
+    from comfyui_propainter_nodes_tpu.pipeline.stages import Pipeline
+    from comfyui_propainter_nodes_tpu.utils import weights as wz
+
+    rng = np.random.default_rng(5)
+    t, h, w = 16, 64, 96
+    frames = jnp.asarray(
+        rng.uniform(-1, 1, (1, t, h, w, 3)).astype(np.float32)
+    )
+    cfg = PipelineConfig(raft_iter=2, fp16="disable", process_size=(w, h))
+    params = [
+        wz.get_params(m, allow_random=True)
+        for m in ("raft", "flow_completion", "inpaint_generator")
+    ]
+    # per-pair map (allpairs + chunk-batch off) + sequential directions
+    monkeypatch.setenv("PROPAINTER_TPU_RAFT_ALLPAIRS_BYTES", "0.1")
+    monkeypatch.setenv("PROPAINTER_TPU_RAFT_SEQDIR_BYTES", "0.1")
+    seq = Pipeline(*params, cfg).compute_flow(frames)
+    monkeypatch.delenv("PROPAINTER_TPU_RAFT_SEQDIR_BYTES")
+    monkeypatch.setenv("PROPAINTER_TPU_RAFT_ALLPAIRS_BYTES", "1e18")
+    ref = Pipeline(*params, cfg).compute_flow(frames)
+    np.testing.assert_allclose(
+        np.asarray(seq[0]), np.asarray(ref[0]), atol=2e-4, rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(seq[1]), np.asarray(ref[1]), atol=2e-4, rtol=1e-3
+    )
