@@ -336,14 +336,34 @@ def _mid(p: Params, e2):
     per-frame pure (kt=1), so it runs OUTSIDE the temporal-halo chunking
     on the full sequence at 1/8 res (the previous in-chunk placement
     recomputed it on every halo frame, ~2x redundant at the default
-    chunk shape)."""
-    mid = pconv3d(p, "mid_dilation.0", e2, padding=(0, 3, 3), dilation=(1, 3, 3))
-    mid = leaky_relu(mid, 0.2)
-    mid = pconv3d(p, "mid_dilation.2", mid, padding=(0, 2, 2), dilation=(1, 2, 2))
-    mid = leaky_relu(mid, 0.2)
-    mid = pconv3d(p, "mid_dilation.4", mid, padding=(0, 1, 1), dilation=(1, 1, 1))
-    mid = leaky_relu(mid, 0.2)
-    return mid
+    chunk shape). Frame-chunked past the 1080p area gate (exact)."""
+
+    def run(a):
+        mid = pconv3d(p, "mid_dilation.0", a, padding=(0, 3, 3), dilation=(1, 3, 3))
+        mid = leaky_relu(mid, 0.2)
+        mid = pconv3d(p, "mid_dilation.2", mid, padding=(0, 2, 2), dilation=(1, 2, 2))
+        mid = leaky_relu(mid, 0.2)
+        mid = pconv3d(p, "mid_dilation.4", mid, padding=(0, 1, 1), dilation=(1, 1, 1))
+        return leaky_relu(mid, 0.2)
+
+    b, t, h8, w8, _ = e2.shape
+    big = 64 * h8 * w8 > int(
+        os.environ.get("PROPAINTER_TPU_FC_BIGAREA", "1600000")
+    )
+    cn = 16
+    if not big or t <= cn:
+        return run(e2)
+    n_ch = -(-t // cn)
+    pad = n_ch * cn - t
+    ep = jnp.concatenate([e2, e2[:, :pad]], axis=1) if pad else e2
+    ec = jnp.moveaxis(
+        ep.reshape(b, n_ch, cn, h8, w8, ep.shape[-1]), 1, 0
+    )
+    out = jax.lax.map(run, ec)
+    out = jnp.moveaxis(out, 0, 1).reshape(
+        b, n_ch * cn, h8, w8, out.shape[-1]
+    )
+    return out[:, :t]
 
 
 _FC_CHUNK_T = 16
@@ -361,7 +381,7 @@ def _fc_slab_nb(h: int, w: int, chunk_t: int, esz: int) -> int | None:
     env = os.environ.get("PROPAINTER_TPU_FC_SLAB_NB")
     if env is not None:
         return int(env)
-    budget = 1.1e9
+    budget = float(os.environ.get("PROPAINTER_TPU_FC_SLAB_BYTES", 8e8))
     rows2 = budget / (chunk_t * (w // 2) * 128 * esz)
     return max(8, min(h // 8, int((rows2 - 16) // 4)))
 
@@ -447,7 +467,16 @@ def _decode(p: Params, prop2, e1_2):
 def _decode_chunked(p: Params, prop2, e1_2p, chunk: int = 8):
     """_decode over frame chunks (exact — it is per-frame pure); bounds
     the full-res activation footprint to `chunk` frames. e1_2p arrives
-    W-phase-packed (_pack_w2) and is unpacked per chunk."""
+    W-phase-packed (_pack_w2) and is unpacked per chunk.
+
+    chunk shrinks past the 1080p area gate: the decoder's full-res
+    16/32-channel stages lane-pad 8x/4x, so even an 8-frame chunk holds
+    multiple ~4GB buffers at 1080p."""
+    h8, w8 = prop2.shape[1], prop2.shape[2]
+    if 64 * h8 * w8 > int(
+        os.environ.get("PROPAINTER_TPU_FC_BIGAREA", "1600000")
+    ):
+        chunk = int(os.environ.get("PROPAINTER_TPU_FC_DECODE_CHUNK", "2"))
     bt = prop2.shape[0]
     n_ch = -(-bt // chunk)
     pad = n_ch * chunk - bt

@@ -1387,29 +1387,104 @@ class Pipeline:
     # building blocks. One compile per static chunk shape.
 
     def complete_flow_chunk(self, ff, fb, mk, t_real, t_static):
-        """One flow-completion chunk, zero-padded to the static length."""
+        """One flow-completion chunk, zero-padded to the static length.
+
+        At high resolution the two directions run as SEPARATE dispatches
+        with a sync between (exact — forward_bidirect_flow's seq_dirs
+        path already runs them sequentially inside one program, but one
+        1080p direction peaks ~9GB and having both programs' buffer sets
+        in flight at one deferred-execution sync exceeds HBM)."""
         dt = self.cdtype
 
-        def build():
-            def f(prm, ff, fb, mk, t_valid):
-                pf, pb = fc.forward_bidirect_flow(prm, ff, fb, mk, t_valid)
-                return fc.combine_flow(ff, fb, pf, pb, mk)
+        n_pad = t_static - t_real
+        pw, ph = self.config.process_size
+        if ph * pw <= 640 * 480:
+            if n_pad:
+                padf = ((0, 0), (0, n_pad), (0, 0), (0, 0), (0, 0))
+                ff = jnp.pad(ff, padf)
+                fb = jnp.pad(fb, padf)
+                mk = jnp.pad(mk, padf)
+
+            def build():
+                def f(prm, ff, fb, mk, t_valid):
+                    pf, pb = fc.forward_bidirect_flow(prm, ff, fb, mk, t_valid)
+                    return fc.combine_flow(ff, fb, pf, pb, mk)
+
+                return f
+
+            fn = self.jits.get("flow_complete_chunk", ff.shape[1:], build)
+            with stage_timer("complete_flow") as tm:
+                of, ob = tm.set(fn(
+                    self.flow_params, ff.astype(dt), fb.astype(dt),
+                    mk.astype(dt), jnp.asarray(t_real),
+                ))
+            return of[:, :t_real], ob[:, :t_real]
+
+        # high-res: pad INSIDE the jit (eager padded copies of ff/fb/mk
+        # were ~1.9GB of residents held across both dispatches), and
+        # return the unpadded tail directly
+        padf = ((0, 0), (0, n_pad), (0, 0), (0, 0), (0, 0))
+
+        def build_fwd():
+            def f(prm, ff, mk, t_valid):
+                ff = jnp.pad(ff, padf) if n_pad else ff
+                mk = jnp.pad(mk, padf) if n_pad else mk
+                masks_fwd = mk[:, :-1]
+                mf = ff * (1 - masks_fwd)
+                pf = fc.flow_complete_forward(prm, mf, masks_fwd, t_valid)
+                # combine_flow, forward half (reference :389-400)
+                out = pf * masks_fwd + ff * (1 - masks_fwd)
+                return out[:, :t_real]
 
             return f
 
-        n_pad = t_static - t_real
-        if n_pad:
-            padf = ((0, 0), (0, n_pad), (0, 0), (0, 0), (0, 0))
-            ff = jnp.pad(ff, padf)
-            fb = jnp.pad(fb, padf)
-            mk = jnp.pad(mk, padf)
-        fn = self.jits.get("flow_complete_chunk", ff.shape[1:], build)
+        def build_bwd():
+            def f(prm, fb, mk, t_valid):
+                fb = jnp.pad(fb, padf) if n_pad else fb
+                mk = jnp.pad(mk, padf) if n_pad else mk
+                t = fb.shape[1]
+                masks_bwd = mk[:, 1:]
+                mb = fb * (1 - masks_bwd)
+                # flip only the real prefix (padding stays at the end) —
+                # same as forward_bidirect_flow's scalar-t_valid flip
+                tv = jnp.asarray(t_valid)
+                ar = jnp.arange(t)
+                idx = jnp.where(ar < tv, tv - 1 - ar, ar)
+                flip = lambda a: jnp.take(a, idx, axis=1)
+                pb = flip(
+                    fc.flow_complete_forward(prm, flip(mb), flip(masks_bwd), tv)
+                )
+                out = pb * masks_bwd + fb * (1 - masks_bwd)
+                return out[:, :t_real]
+
+            return f
+
+        def _sync(a):
+            # one retry: the shared remote-compile service intermittently
+            # 500s on fresh tiny programs (round-4/5 notes); the data is
+            # fine and a second request usually lands
+            import time as _time
+
+            for attempt in (0, 1):
+                try:
+                    np.asarray(jnp.max(a))
+                    return
+                except Exception:
+                    if attempt:
+                        raise
+                    _time.sleep(20)
+
+        key = ff.shape[1:] + (t_static,)
+        fn_f = self.jits.get("flow_complete_chunk_f", key, build_fwd)
+        fn_b = self.jits.get("flow_complete_chunk_b", key, build_bwd)
+        tv = jnp.asarray(t_real)
         with stage_timer("complete_flow") as tm:
-            of, ob = tm.set(fn(
-                self.flow_params, ff.astype(dt), fb.astype(dt),
-                mk.astype(dt), jnp.asarray(t_real),
-            ))
-        return of[:, :t_real], ob[:, :t_real]
+            of = fn_f(self.flow_params, ff.astype(dt), mk.astype(dt), tv)
+            _sync(of)
+            ob = fn_b(self.flow_params, fb.astype(dt), mk.astype(dt), tv)
+            _sync(ob)
+            tm.set((of, ob))
+        return of, ob
 
     def image_prop_chunk(self, fr, mk, ff, fb, t_real, t_static):
         """One image-propagation chunk, zero-padded to the static length."""

@@ -26,6 +26,7 @@ frame range.
 
 from __future__ import annotations
 
+import os
 from typing import Callable
 
 import jax
@@ -105,7 +106,16 @@ def process_streaming(
         # prep cache (176 -> 44MB per 16-frame 720p chunk; the prep floor
         # stays at 0 for most of the video, so every chunk below the
         # completion lookback stays live — part of the 240f 720p OOM)
-        return byte.astype(jnp.uint8), flow_m.astype(jnp.uint8), dil_m.astype(jnp.uint8)
+        out = (
+            byte.astype(jnp.uint8),
+            flow_m.astype(jnp.uint8),
+            dil_m.astype(jnp.uint8),
+        )
+        # high-res: retire each prep program (and free its ~400MB f32
+        # upload) before anything else dispatches — see _hires_sync
+        _hires_sync(out[0])
+        _hires_sync(out[2])
+        return out
 
     def _hires_sync(x):
         """4-byte fetch forcing a cache computation to finish before the
@@ -159,9 +169,32 @@ def process_streaming(
         while halving the streamed flow buffers (f32 flows for one 80-pair
         720p chunk are 1.25GB — part of the high-res HBM budget)."""
         rdt = jax.tree_util.tree_leaves(pipe.raft_params)[0].dtype
-        frames = gather(0, lo, hi + 1, rdt)[None]
-        ff, fb = pipe.compute_flow(frames)
-        return ff.astype(pipe.cdtype), fb.astype(pipe.cdtype)
+        if ph * pw <= 640 * 480:
+            frames = gather(0, lo, hi + 1, rdt)[None]
+            ff, fb = pipe.compute_flow(frames)
+            return ff.astype(pipe.cdtype), fb.astype(pipe.cdtype)
+        # high-res: pairs are independent, so chop the range into bounded
+        # sub-dispatches, each synced before the next dispatches. One
+        # 85-pair 1080p program is ~2.5 min of device time in a SINGLE
+        # execution — past the axon worker's tolerance (observed as a
+        # worker crash; a 44-pair program runs clean) — and bounding the
+        # in-flight set also caps buffer co-residency with the completion
+        # program.
+        step_p = int(os.environ.get("PROPAINTER_TPU_STREAM_FLOW_PAIRS", "24"))
+        outs_f, outs_b = [], []
+        for a in range(lo, hi, step_p):
+            b_ = min(hi, a + step_p)
+            frames = gather(0, a, b_ + 1, rdt)[None]
+            ff, fb = pipe.compute_flow(frames)
+            _hires_sync(ff)
+            outs_f.append(ff.astype(pipe.cdtype))
+            outs_b.append(fb.astype(pipe.cdtype))
+        if len(outs_f) == 1:
+            return outs_f[0], outs_b[0]
+        return (
+            jnp.concatenate(outs_f, axis=1),
+            jnp.concatenate(outs_b, axis=1),
+        )
 
     def _completed(k: int):
         if single_fc:

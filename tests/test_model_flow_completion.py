@@ -186,3 +186,38 @@ def test_sequential_directions_match_batched(monkeypatch, jax_params):
             np.asarray(o[:, :tv]), np.asarray(r[:, :tv]),
             atol=3e-5, rtol=1e-4,
         )
+
+def test_complete_chunk_split_directions_matches_fused(jax_params):
+    """The streaming completion chunk runs each direction as its own
+    dispatch past the area gate (gated on config.process_size); forcing
+    a big process_size with small inputs must reproduce the fused
+    two-direction program, including an end-padded t_real."""
+    from comfyui_propainter_nodes_tpu.config import PipelineConfig
+    from comfyui_propainter_nodes_tpu.pipeline.stages import Pipeline
+    from comfyui_propainter_nodes_tpu.utils import weights as wz
+
+    rng = np.random.default_rng(7)
+    t_real, t_static, h, w = 9, 12, 64, 96
+    ff = jnp.asarray((rng.standard_normal((1, t_real, h, w, 2)) * 2).astype(np.float32))
+    fb = jnp.asarray((rng.standard_normal((1, t_real, h, w, 2)) * 2).astype(np.float32))
+    mk = jnp.asarray(
+        (rng.uniform(size=(1, t_real + 1, h, w, 1)) > 0.7).astype(np.float32)
+    )
+    params = [
+        wz.get_params(m, allow_random=True)
+        for m in ("raft", "flow_completion", "inpaint_generator")
+    ]
+    cfg_small = PipelineConfig(fp16="disable", process_size=(w, h))
+    cfg_big = PipelineConfig(fp16="disable", process_size=(1920, 1080))
+    of_a, ob_a = Pipeline(*params, cfg_small).complete_flow_chunk(
+        ff, fb, mk, t_real, t_static
+    )
+    of_b, ob_b = Pipeline(*params, cfg_big).complete_flow_chunk(
+        ff, fb, mk, t_real, t_static
+    )
+    np.testing.assert_allclose(
+        np.asarray(of_a), np.asarray(of_b), atol=3e-5, rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(ob_a), np.asarray(ob_b), atol=3e-5, rtol=1e-4
+    )
